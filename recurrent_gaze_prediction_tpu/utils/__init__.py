@@ -1,0 +1,12 @@
+from .logging import log, mkdir_p, override
+from .tree import cast_floating, describe, param_bytes, param_count
+
+__all__ = [
+    "log",
+    "mkdir_p",
+    "override",
+    "param_count",
+    "param_bytes",
+    "cast_floating",
+    "describe",
+]
