@@ -1,0 +1,134 @@
+"""Golden tests: on-device batched metrics vs NumPy reference formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu.eval import metrics_jax as mj
+from recurrent_gaze_prediction_tpu.eval import metrics_np as mnp
+
+
+def _random_frames(n=12, h=49, w=49, seed=0, n_fix_range=(3, 12)):
+    rng = np.random.RandomState(seed)
+    # smooth-ish saliency maps
+    pred = rng.rand(n, h, w).astype(np.float32)
+    gt = rng.rand(n, h, w).astype(np.float32) + 0.05
+    fix = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        n_fix = rng.randint(*n_fix_range)
+        ys = rng.randint(0, h, n_fix)
+        xs = rng.randint(0, w, n_fix)
+        fix[i, ys, xs] = 1.0
+    return pred, gt, fix
+
+
+def test_cc_parity():
+    pred, gt, _ = _random_frames()
+    dev = np.asarray(mj.cc_batch(jnp.array(pred), jnp.array(gt)))
+    ref = np.array([mnp.cc(g, p) for p, g in zip(pred, gt)])
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sim_parity():
+    pred, gt, _ = _random_frames(seed=1)
+    dev = np.asarray(mj.sim_batch(jnp.array(pred), jnp.array(gt)))
+    ref = np.array([mnp.similarity(g, p) for p, g in zip(pred, gt)])
+    np.testing.assert_allclose(dev, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nss_parity():
+    pred, _, fix = _random_frames(seed=2)
+    dev = np.asarray(mj.nss_batch(jnp.array(pred), jnp.array(fix)))
+    ref = np.array([mnp.nss(f, p) for p, f in zip(pred, fix)])
+    np.testing.assert_allclose(dev, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_kld_parity():
+    pred, gt, _ = _random_frames(seed=3)
+    dev = np.asarray(mj.kld_batch(jnp.array(pred), jnp.array(gt)))
+    ref = np.array([mnp.kld(g, p) for p, g in zip(pred, gt)])
+    np.testing.assert_allclose(dev, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_auc_judd_parity():
+    """Deterministic up to the 1e-7 jitter; tolerance 2e-3."""
+    pred, _, fix = _random_frames(seed=4)
+    dev = np.asarray(mj.auc_judd_batch(jnp.array(pred), jnp.array(fix),
+                                       jax.random.PRNGKey(0)))
+    ref = np.array([
+        mnp.AUC_Judd(f, p, rng=np.random.RandomState(0))
+        for p, f in zip(pred, fix)
+    ])
+    np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+
+def test_auc_judd_no_fixation_is_nan():
+    pred = np.random.RandomState(0).rand(2, 9, 9).astype(np.float32)
+    fix = np.zeros((2, 9, 9), np.float32)
+    fix[1, 4, 4] = 1
+    dev = np.asarray(mj.auc_judd_batch(jnp.array(pred), jnp.array(fix),
+                                       jax.random.PRNGKey(0)))
+    assert np.isnan(dev[0]) and not np.isnan(dev[1])
+
+
+def test_auc_borji_close_to_numpy():
+    """Different RNGs -> compare means across frames with loose tolerance."""
+    pred, _, fix = _random_frames(n=16, seed=5, n_fix_range=(8, 16))
+    dev = np.asarray(mj.auc_borji_batch(jnp.array(pred), jnp.array(fix),
+                                        jax.random.PRNGKey(1), n_rep=64))
+    ref = np.array([
+        mnp.AUC_Borji(f, p, n_rep=64, rng=np.random.RandomState(i))
+        for i, (p, f) in enumerate(zip(pred, fix))
+    ])
+    assert abs(dev.mean() - ref.mean()) < 0.03
+    np.testing.assert_allclose(dev, ref, atol=0.12)  # per-frame sampling noise
+
+
+def test_auc_borji_perfect_predictor():
+    """A saliency map that exactly equals the fixation map -> AUC near 1."""
+    rng = np.random.RandomState(6)
+    fix = np.zeros((4, 21, 21), np.float32)
+    for i in range(4):
+        ys, xs = rng.randint(0, 21, 8), rng.randint(0, 21, 8)
+        fix[i, ys, xs] = 1.0
+    pred = fix + rng.rand(4, 21, 21).astype(np.float32) * 0.01
+    dev = np.asarray(mj.auc_borji_batch(jnp.array(pred), jnp.array(fix),
+                                        jax.random.PRNGKey(2)))
+    assert (dev > 0.95).all()
+
+
+def test_auc_shuffled_close_to_numpy():
+    pred, _, fix = _random_frames(n=16, seed=7, n_fix_range=(8, 16))
+    other = (fix[:10] > 0).sum(0)
+    dev = np.asarray(mj.auc_shuffled_batch(
+        jnp.array(pred), jnp.array(fix), jnp.array(other),
+        jax.random.PRNGKey(3), n_rep=64))
+    ref = np.array([
+        mnp.AUC_shuffled(f, p, other, n_rep=64, rng=np.random.RandomState(i))
+        for i, (p, f) in enumerate(zip(pred, fix))
+    ])
+    assert abs(np.nanmean(dev) - np.nanmean(ref)) < 0.04
+    np.testing.assert_allclose(dev, ref, atol=0.15)
+
+
+def test_evaluate_batch_full_metric_set():
+    pred, gt, fix = _random_frames(n=12, seed=8)
+    scores = mj.evaluate_batch(jnp.array(pred), jnp.array(gt), jnp.array(fix),
+                               jax.random.PRNGKey(4),
+                               metrics=mj.ALL_METRICS, n_rep=16)
+    assert set(scores) == set(mj.ALL_METRICS)
+    for name, vals in scores.items():
+        assert vals.shape == (12,), name
+        assert np.isfinite(np.asarray(vals)).all(), name
+
+
+def test_numpy_saliency_score_aggregate():
+    """Reference-style aggregate API works end to end."""
+    pred, gt, fix = _random_frames(n=12, seed=9)
+    rng = np.random.RandomState(0)
+    score = mnp.saliency_score("cc", list(pred), list(gt), list(fix), rng=rng)
+    assert np.isfinite(score)
+    score_sauc = mnp.saliency_score("AUC_shuffled", list(pred), list(gt),
+                                    list(fix), rng=rng)
+    assert 0.0 <= score_sauc <= 1.0
