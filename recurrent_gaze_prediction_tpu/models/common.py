@@ -1,0 +1,177 @@
+"""Shared building blocks for the gaze model zoo.
+
+Covers everything the reference repeats across `models/gaze_*.py`:
+  * C3D input handling: [B,T,1024,7,7] -> [B,T,7,7,1024] transpose + linear
+    projection with uniform(-0.1,0.1) init + dropout
+    (`/root/reference/models/gaze_grcn.py:223-254`)
+  * the 3-deconv upsampling decoder 7->23->49->49 with a 12->1 output head
+    (`models/gaze_grcn.py:292-366`)
+  * sequence losses summed over T and divided by B*T
+    (`models/gaze_rnn.py:363-408`)
+  * the `GazeModel` harness: a functional bundle (init/apply/loss/predict)
+    that replaces the reference's `ModelBase`-derived classes.
+
+TPU design notes: anything framewise (projection, decoder, ShallowNet) is
+computed with T folded into the batch axis — one big MXU-friendly
+contraction instead of the reference's 42 unrolled per-step graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import initializers as init
+from ..ops.layers import conv2d_transpose, dropout, frozen_batch_norm, linear
+from ..ops.normalize import (
+    kl_divergence_2d,
+    normalize_probability_map,
+    softmax_2d,
+    softmax_cross_entropy_2d,
+)
+
+Params = Any
+
+
+def compute_dtype_of(cfg: ModelConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+# ------------------------------------------------------------------ C3D in
+
+def c3d_to_nhwc(c3d: jax.Array) -> jax.Array:
+    """[B, T, 1024, 7, 7] -> [B, T, 7, 7, 1024] (`gaze_grcn.py:225-231`)."""
+    return jnp.transpose(c3d, (0, 1, 3, 4, 2))
+
+
+def init_c3d_projection(key: jax.Array, dim_feature: int,
+                        dim_proj: int) -> dict:
+    kw, kb = jax.random.split(key)
+    return {
+        "proj_c3d_W": init.uniform_scale(kw, (dim_feature, dim_proj), 0.1),
+        "proj_c3d_b": init.uniform_scale(kb, (dim_proj,), 0.1),
+    }
+
+
+def apply_c3d_projection(params: dict, c3d: jax.Array, *,
+                         keep_prob: float, rng: Optional[jax.Array],
+                         train: bool, compute_dtype=None) -> jax.Array:
+    """[B,T,1024,7,7] -> [B,T,7,7,dim_proj] with dropout
+    (`gaze_grcn.py:239-254`). One [B*T*49, 1024] x [1024, proj] matmul."""
+    x = c3d_to_nhwc(c3d)
+    b, t = x.shape[:2]
+    flat = x.reshape(-1, x.shape[-1])
+    proj = linear(flat, params["proj_c3d_W"], params["proj_c3d_b"],
+                  compute_dtype=compute_dtype)
+    proj = dropout(proj, keep_prob, rng, deterministic=not train)
+    return proj.reshape(b, t, 7, 7, -1)
+
+
+# ----------------------------------------------------------------- decoder
+
+def init_decoder(key: jax.Array, in_channels: int,
+                 with_batch_norm: bool = True) -> dict:
+    """3-deconv upsampling decoder params (`gaze_grcn.py:292-314`)."""
+    ks = jax.random.split(key, 5)
+    params = {
+        "up1_w": init.xavier_uniform(ks[0], (5, 5, in_channels, 64)),
+        "up2_w": init.xavier_uniform(ks[1], (5, 5, 64, 32)),
+        "up3_w": init.xavier_uniform(ks[2], (7, 7, 32, 12)),
+        "out_W": init.uniform_scale(ks[3], (12, 1), 0.1),
+        "out_b": init.uniform_scale(ks[4], (1,), 0.1),
+    }
+    if with_batch_norm:
+        params["bn_scale"] = jnp.ones((in_channels,))
+        params["bn_offset"] = jnp.zeros((in_channels,))
+    return params
+
+
+def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
+                  rng: Optional[jax.Array], train: bool,
+                  compute_dtype=None) -> jax.Array:
+    """[N, 7, 7, C] -> [N, 49, 49] via deconv 5x5/s3 VALID -> 23,
+    deconv 5x5/s2 VALID -> 49, deconv 7x7/s1 SAME, 12->1 linear head with
+    output dropout (`gaze_grcn.py:318-366`). N is B*T folded."""
+    if "bn_scale" in params:
+        x = frozen_batch_norm(x, params["bn_scale"], params["bn_offset"])
+    x = conv2d_transpose(x, params["up1_w"], stride=3, padding="VALID",
+                         compute_dtype=compute_dtype)
+    x = conv2d_transpose(x, params["up2_w"], stride=2, padding="VALID",
+                         compute_dtype=compute_dtype)
+    x = conv2d_transpose(x, params["up3_w"], stride=1, padding="SAME",
+                         compute_dtype=compute_dtype)
+    n = x.shape[0]
+    out = linear(x.reshape(-1, 12), params["out_W"], params["out_b"],
+                 compute_dtype=compute_dtype)
+    out = dropout(out, keep_prob, rng, deterministic=not train)
+    return out.reshape(n, 49, 49)
+
+
+# ------------------------------------------------------------------ losses
+
+def sequence_loss(logits: jax.Array, gt_gazemap: jax.Array,
+                  loss_type: str) -> jax.Array:
+    """Per-frame loss summed over time, averaged by B*T
+    (`models/gaze_rnn.py:363-408`).
+
+    l2:       tf.nn.l2_loss == 0.5 * sum of squares
+    xentropy: softmax cross-entropy over the flattened H*W grid
+    kld:      KL(gt || softmax(pred)) — the reference's KLD branch is broken
+              (`gaze_rnn.py:395-399`); this implements the intended loss.
+    """
+    b, t = logits.shape[:2]
+    if loss_type == "l2":
+        return 0.5 * jnp.sum(jnp.square(logits - gt_gazemap)) / (b * t)
+    if loss_type == "xentropy":
+        xent = softmax_cross_entropy_2d(logits, gt_gazemap)  # [B, T]
+        return jnp.sum(xent) / (b * t)
+    if loss_type == "kld":
+        probs = softmax_2d(logits)
+        kl = kl_divergence_2d(probs, gt_gazemap)
+        return jnp.sum(kl) / (b * t)
+    raise NotImplementedError(loss_type)
+
+
+# ----------------------------------------------------------------- harness
+
+@dataclasses.dataclass
+class GazeModel:
+    """Functional model bundle. `apply` returns raw per-frame logits
+    [B, T, GH, GW]; `predict` post-processes to probability maps when the
+    loss is xentropy/kld (mirrors `gaze_rnn.py:149-159`)."""
+
+    cfg: ModelConfig
+    init_fn: Callable[[jax.Array], Params]
+    apply_fn: Callable[..., jax.Array]
+    # True if the model contains a ShallowNet subtree (frozen by default
+    # during gaze training, `gaze_rnn.py:447-478`).
+    has_shallownet: bool = False
+
+    def init(self, key: jax.Array) -> Params:
+        return self.init_fn(key)
+
+    def apply(self, params: Params, frames: jax.Array, c3d: jax.Array, *,
+              train: bool = False, rng: Optional[jax.Array] = None
+              ) -> jax.Array:
+        return self.apply_fn(params, frames, c3d, train=train, rng=rng)
+
+    def loss(self, params: Params, batch: dict, *, train: bool = True,
+             rng: Optional[jax.Array] = None) -> tuple[jax.Array, dict]:
+        logits = self.apply(params, batch["frames"], batch["c3d"],
+                            train=train, rng=rng)
+        gt = batch["gazemaps"]
+        if self.cfg.loss_type in ("xentropy", "kld"):
+            gt = normalize_probability_map(gt)  # gaze_rnn.py:499-500
+        loss = sequence_loss(logits, gt, self.cfg.loss_type)
+        return loss, {"logits": logits}
+
+    def predict(self, params: Params, frames: jax.Array,
+                c3d: jax.Array) -> jax.Array:
+        logits = self.apply(params, frames, c3d, train=False)
+        if self.cfg.loss_type in ("xentropy", "kld"):
+            return softmax_2d(logits)
+        return logits

@@ -1,0 +1,117 @@
+"""Model-zoo tests: every registry model builds, runs forward with the right
+shapes, produces a finite loss, and is differentiable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.models import shallownet
+from recurrent_gaze_prediction_tpu.utils import param_count
+
+# tiny geometry for CPU tests
+B, T = 2, 3
+ALL_MODELS = registry.available_models()
+
+
+def _tiny_batch(gh, gw, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "frames": jnp.array(rng.rand(B, T, 98, 98, 3).astype(np.float32)),
+        "c3d": jnp.array(rng.rand(B, T, 1024, 7, 7).astype(np.float32)),
+        "gazemaps": jnp.array(
+            rng.rand(B, T, gh, gw).astype(np.float32) + 0.01),
+    }
+
+
+def _build(name):
+    # float32 compute on CPU tests for numerical checks
+    return registry.create_model(name, n_lstm_steps=T, batch_size=B,
+                                 compute_dtype="float32")
+
+
+def test_registry_lists_all_reference_models():
+    expected = {"gaze_rnn", "gaze_rnn77", "gaze_grcn", "gaze_grcn77",
+                "gaze_lstm", "gaze_grcn_cascade", "gaze_c3d_conv",
+                "gaze_framewise_shallownet"}
+    assert expected == set(ALL_MODELS)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_forward_shape_and_loss(name):
+    model = _build(name)
+    gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+    params = model.init(jax.random.PRNGKey(0))
+    batch = _tiny_batch(gh, gw)
+
+    logits = model.apply(params, batch["frames"], batch["c3d"], train=False)
+    assert logits.shape == (B, T, gh, gw), name
+    assert np.isfinite(np.asarray(logits)).all(), name
+
+    loss, aux = model.loss(params, batch, train=False)
+    assert np.isfinite(float(loss)), name
+
+    # train mode with dropout rng
+    loss_t, _ = model.loss(params, batch, train=True,
+                           rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_t)), name
+
+
+@pytest.mark.parametrize("name", ["gaze_grcn", "gaze_rnn"])
+def test_gradients_flow(name):
+    model = _build(name)
+    gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+    params = model.init(jax.random.PRNGKey(0))
+    batch = _tiny_batch(gh, gw)
+
+    def loss_fn(p):
+        return model.loss(p, batch, train=False)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert max(norms) > 0  # something learns
+
+
+def test_predict_is_probability_for_xentropy():
+    model = _build("gaze_grcn")
+    assert model.cfg.loss_type == "xentropy"
+    params = model.init(jax.random.PRNGKey(0))
+    batch = _tiny_batch(49, 49)
+    probs = model.predict(params, batch["frames"], batch["c3d"])
+    sums = np.asarray(probs).reshape(B * T, -1).sum(-1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+
+
+def test_shallownet_standalone_shape_and_param_count():
+    params = shallownet.init_params(jax.random.PRNGKey(0))
+    out = shallownet.apply(params, jnp.zeros((4, 98, 98, 3)))
+    assert out.shape == (4, 49, 49)
+    # conv params + fc1 (3872*4802) + fc2 (2401*4802)
+    expected = (5 * 5 * 3 * 32 + 32 + 3 * 3 * 32 * 64 + 64 +
+                3 * 3 * 64 * 32 + 32 + 3872 * 4802 + 4802 +
+                2401 * 4802 + 4802)
+    assert param_count(params) == expected
+
+
+def test_model_defaults_match_reference():
+    m = registry.create_model("gaze_rnn77")
+    assert (m.cfg.gazemap_height, m.cfg.gazemap_width) == (7, 7)
+    assert m.cfg.n_lstm_steps == 35
+    assert m.cfg.loss_type == "l2"
+    m2 = registry.create_model("gaze_grcn")
+    assert m2.cfg.dim_cnn_proj == 512
+    assert m2.cfg.rnn_state_size == 128
+    assert m2.cfg.loss_type == "xentropy"
+
+
+def test_grcn_jit_forward():
+    model = _build("gaze_grcn")
+    params = model.init(jax.random.PRNGKey(0))
+    batch = _tiny_batch(49, 49)
+    f = jax.jit(lambda p, fr, c3: model.apply(p, fr, c3, train=False))
+    out1 = f(params, batch["frames"], batch["c3d"])
+    out2 = model.apply(params, batch["frames"], batch["c3d"], train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=2e-4, atol=2e-5)
