@@ -1,0 +1,97 @@
+"""Generate + evaluate harness.
+
+Rebuild of the reference's inference/scoring path
+(`/root/reference/models/gaze_rnn.py:568-680`): run batched inference over a
+dataset, flatten the time axis so there is one map per frame, then score
+with the saliency metrics — here batched ON DEVICE (metrics_jax) instead of
+a joblib process pool, with an optional NumPy path for original-scale
+fixation maps (`models/evaluate_gaze.py` protocol).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.datasets import ClipDataset
+from ..utils import log
+from . import metrics_jax, metrics_np
+
+AVAILABLE_METRICS = metrics_jax.AVAILABLE_METRICS
+
+
+def generate(predict_fn: Callable, params, dataset: ClipDataset,
+             batch_size: int, max_instances: Optional[int] = 50) -> dict:
+    """Batched inference; returns per-frame stacks (time axis flattened),
+    mirroring `gaze_rnn.py:568-650`."""
+    pred_list, gt_list, fix_list, img_list, name_list = [], [], [], [], []
+    for batch in dataset.iter_batches(batch_size, max_instances):
+        preds = predict_fn(params, batch["frames"], batch["c3d"])
+        preds = np.asarray(jax.device_get(preds))
+        b, t = preds.shape[:2]
+        pred_list.append(preds.reshape(b * t, *preds.shape[2:]))
+        gt_list.append(batch["gazemaps"].reshape(b * t,
+                                                 *batch["gazemaps"].shape[2:]))
+        fix = batch["fixationmaps"]
+        fix_list.append(fix.reshape(b * t, *fix.shape[2:]))
+        img_list.append(batch["frames"].reshape(b * t,
+                                                *batch["frames"].shape[2:]))
+        name_list.extend(batch["clipnames"])
+    return {
+        "pred_gazemaps": np.concatenate(pred_list),
+        "gt_gazemaps": np.concatenate(gt_list),
+        "fixationmaps": np.concatenate(fix_list),
+        "images": np.concatenate(img_list),
+        "clipnames": name_list,
+    }
+
+
+def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
+             fixationmaps: np.ndarray,
+             metrics: Sequence[str] = AVAILABLE_METRICS,
+             key: Optional[jax.Array] = None,
+             on_device: bool = True, n_rep: int = 100) -> dict:
+    """Mean per-frame scores. `on_device=True` runs the batched TPU metrics
+    at map scale; `on_device=False` runs the NumPy protocol (including
+    original-scale resize when fixation maps are larger)."""
+    if on_device:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        scores = metrics_jax.evaluate_batch(
+            jax.numpy.asarray(pred_gazemaps),
+            jax.numpy.asarray(gt_gazemaps),
+            jax.numpy.asarray(fixationmaps),
+            key, metrics=tuple(metrics), n_rep=n_rep)
+        out = {m: float(np.nanmean(np.asarray(v))) for m, v in scores.items()}
+    else:
+        rng = np.random.RandomState(0)
+        out = {
+            m: metrics_np.saliency_score(m, list(pred_gazemaps),
+                                         list(gt_gazemaps),
+                                         list(fixationmaps), rng=rng)
+            for m in metrics
+        }
+    for metric, score in out.items():
+        log.infov("Saliency %s : %f", metric, score)
+    return out
+
+
+def generate_and_evaluate(predict_fn: Callable, params, dataset: ClipDataset,
+                          batch_size: int, max_instances: Optional[int] = 50,
+                          metrics: Sequence[str] = AVAILABLE_METRICS,
+                          on_device: bool = True) -> tuple[dict, dict]:
+    """`gaze_rnn.py:677-680` equivalent."""
+    ret = generate(predict_fn, params, dataset, batch_size, max_instances)
+    scores = evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
+                      ret["fixationmaps"], metrics=metrics,
+                      on_device=on_device)
+    return ret, scores
+
+
+def write_overall(path: str, scores: dict) -> None:
+    """Aggregate score dump (reference `overall.txt`,
+    `models/evaluate_gaze.py:216-227`)."""
+    with open(path, "w") as f:
+        for metric, score in sorted(scores.items()):
+            f.write(f"{metric}: {score}\n")

@@ -1,0 +1,114 @@
+"""The training loop — `ModelBase.fit` rebuilt
+(`/root/reference/models/base.py:330-358`).
+
+Single jitted train step per iteration; periodic checkpoint / validation /
+on-device evaluation at the reference cadences; auto-resume from the latest
+checkpoint at start (`base.py:341-342`); per-step timing logs matching the
+reference's `sec/batch, instances/sec` instrumentation
+(`models/gaze_rnn.py:547-563`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data.datasets import DataSplits
+from ..eval import evaluator
+from ..models.common import GazeModel
+from ..utils import log
+from .checkpoint import Checkpointer
+from .state import (
+    TrainState,
+    build_schedule,
+    make_eval_step,
+    make_predict_fn,
+    make_train_step,
+)
+
+
+def _device_batch(batch: dict) -> dict:
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "clipnames"}
+
+
+def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
+        exp: ExperimentConfig, *,
+        train_dir: Optional[str] = None,
+        metric_writer: Optional[Callable[[int, dict], None]] = None,
+        max_eval_instances: int = 50) -> TrainState:
+    """Train until `exp.schedule.max_steps`. Returns the final state."""
+    sched_cfg = exp.schedule
+    batch_size = model.cfg.batch_size
+    rng = jax.random.PRNGKey(exp.seed)
+    lr_schedule = build_schedule(exp.optimizer)
+
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+    predict_fn = make_predict_fn(model)
+
+    ckpt = None
+    if train_dir is not None:
+        ckpt = Checkpointer(train_dir)
+        ckpt.save_config(exp)
+        restored = ckpt.restore_latest(jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state))
+        if restored is not None:
+            state = restored
+            log.info(" [Checkpoint] resumed at step %d", int(state.step))
+        else:
+            log.warn(" [Checkpoint] none found (starting from scratch)")
+
+    n_train = max(len(data.train), 1)
+    step = int(state.step)
+    while step < sched_cfg.max_steps:
+        t0 = time.time()
+        batch = _device_batch(data.train.next_batch(batch_size))
+        state, metrics = train_step(state, batch, rng)
+        step = int(metrics["step"])
+        t1 = time.time()
+
+        if step % sched_cfg.steps_per_logprint == 0:
+            loss = float(metrics["loss"])
+            epoch = step * batch_size / n_train
+            lr = float(lr_schedule(step))
+            log.info(
+                " [train epoch %.1f / step %4d] %s loss: %.5f "
+                "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
+                epoch, step,
+                (exp.train_tag + " |" if exp.train_tag else ""),
+                loss, t1 - t0, batch_size / max(t1 - t0, 1e-9), lr)
+            if metric_writer:
+                metric_writer(step, {"loss/train": loss,
+                                     "grad_norm": float(metrics["grad_norm"]),
+                                     "learning_rate": lr})
+
+        if ckpt is not None and step % sched_cfg.steps_per_checkpoint == 0:
+            ckpt.save(state)
+
+        if data.valid is not None and len(data.valid) >= batch_size \
+                and step % sched_cfg.steps_per_validation == 0:
+            vbatch = _device_batch(data.valid.next_batch(batch_size))
+            vmetrics = eval_step(state.params, vbatch)
+            vloss = float(vmetrics["loss"])
+            log.infov(" [val   step %4d] loss: %.5f", step, vloss)
+            if metric_writer:
+                metric_writer(step, {"loss/val": vloss})
+
+        if data.valid is not None and len(data.valid) >= batch_size \
+                and step % sched_cfg.steps_per_evaluation == 0:
+            _, scores = evaluator.generate_and_evaluate(
+                predict_fn, state.params, data.valid, batch_size,
+                max_instances=max_eval_instances)
+            if metric_writer:
+                metric_writer(step, {f"evaluation/{m}": s
+                                     for m, s in scores.items()})
+
+    if ckpt is not None:
+        ckpt.save(state, wait=True)
+        ckpt.close()
+    return state

@@ -1,0 +1,183 @@
+"""End-to-end training tests: the e2e milestone from SURVEY.md section 7 step 4.
+
+Train tiny models on synthetic learnable data: loss must drop, evaluation
+must beat chance, checkpoints must round-trip, resume must continue at the
+saved step, and the frozen ShallowNet group must not move.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+from recurrent_gaze_prediction_tpu.data import synthetic
+from recurrent_gaze_prediction_tpu.eval import evaluator
+from recurrent_gaze_prediction_tpu.train import (
+    Checkpointer,
+    create_train_state,
+    fit,
+    flip_half_batch,
+    make_predict_fn,
+    make_train_step,
+    restore_shallownet,
+    save_params,
+)
+
+B, T = 4, 6
+
+
+def _exp(name, **model_overrides):
+    exp = ExperimentConfig()
+    exp.model.name = name
+    exp.model.n_lstm_steps = T
+    exp.model.batch_size = B
+    exp.model.compute_dtype = "float32"
+    for k, v in model_overrides.items():
+        setattr(exp.model, k, v)
+    exp.optimizer.initial_learning_rate = 3e-3
+    exp.optimizer.use_decay_schedule = True
+    exp.schedule.max_steps = 30
+    exp.schedule.steps_per_logprint = 10
+    exp.schedule.steps_per_checkpoint = 1000
+    exp.schedule.steps_per_validation = 1000
+    exp.schedule.steps_per_evaluation = 10000
+    return exp
+
+
+def _small_data(gh=49, gw=49):
+    return synthetic.make_splits(n_train=8, n_valid=4, n_test=4, t=T,
+                                 gazemap_hw=(gh, gw), seed=0)
+
+
+def test_grcn77_train_loss_drops():
+    """Cheapest recurrent model: ConvGRU at 7x7, xentropy."""
+    exp = _exp("gaze_grcn77", dim_cnn_proj=32, rnn_state_size=16)
+    model = registry.create_model(exp.model.name, exp.model)
+    data = _small_data(7, 7)
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(40):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(B).items() if k != "clipnames"}
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    # xentropy against a 49-cell map: chance is log(49) ~ 3.89
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.01
+
+
+def test_framewise_shallownet_end_to_end_fit_and_eval(tmp_path):
+    """The ONE-model e2e milestone: data -> model -> loss -> fit() ->
+    checkpoint -> on-device evaluation above chance."""
+    exp = _exp("gaze_framewise_shallownet", gazemap_height=49,
+               gazemap_width=49, loss_type="l2")
+    exp.schedule.max_steps = 25
+    model = registry.create_model(exp.model.name, exp.model)
+    data = _small_data()
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+
+    train_dir = str(tmp_path / "run")
+    state = fit(model, state, tx, data, exp, train_dir=train_dir)
+    assert int(state.step) == 25
+    assert os.path.exists(os.path.join(train_dir, "config.json"))
+
+    predict = make_predict_fn(model)
+    _, scores = evaluator.generate_and_evaluate(
+        predict, state.params, data.test, B, max_instances=4,
+        metrics=("cc", "AUC_Borji"))
+    # the synthetic gaze blob is learnable -> better than chance
+    assert scores["AUC_Borji"] > 0.55, scores
+    assert np.isfinite(scores["cc"])
+
+
+def test_checkpoint_resume_continues_from_saved_step(tmp_path):
+    exp = _exp("gaze_grcn77", dim_cnn_proj=16, rnn_state_size=8)
+    exp.schedule.max_steps = 6
+    exp.schedule.steps_per_checkpoint = 3
+    model = registry.create_model(exp.model.name, exp.model)
+    data = _small_data(7, 7)
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    train_dir = str(tmp_path / "resume_run")
+
+    state = fit(model, state, tx, data, exp, train_dir=train_dir)
+    assert int(state.step) == 6
+
+    # new state, same dir -> resumes at 6 and trains to 10
+    exp.schedule.max_steps = 10
+    state2, tx2 = create_train_state(model, exp.optimizer,
+                                     jax.random.PRNGKey(42))
+    state2 = fit(model, state2, tx2, data, exp, train_dir=train_dir)
+    assert int(state2.step) == 10
+
+
+def test_shallownet_frozen_during_gaze_training():
+    """ShallowNet params must not move under the two-group optimizer
+    (reference lr=0 group, gaze_rnn.py:459)."""
+    exp = _exp("gaze_rnn", gazemap_height=7, gazemap_width=7, loss_type="l2")
+    model = registry.create_model("gaze_rnn77", exp.model)
+    data = _small_data(7, 7)
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_map(np.asarray, state.params["shallownet"])
+    step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(3)
+    for _ in range(3):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(B).items() if k != "clipnames"}
+        state, _ = step(state, batch, rng)
+    after = state.params["shallownet"]
+    for k in before:
+        np.testing.assert_array_equal(before[k], np.asarray(after[k]))
+    # but the non-frozen projection DID move
+    assert not np.allclose(
+        np.asarray(state.params["proj_out_W"]), 0.0)
+
+
+def test_flip_half_batch_consistency():
+    """Flipped samples must flip frames/maps/c3d together on W."""
+    data = _small_data(7, 7)
+    batch = {k: jnp.asarray(v) for k, v in data.train.next_batch(B).items()
+             if k != "clipnames"}
+    flipped = flip_half_batch(batch, jax.random.PRNGKey(0))
+    n_flipped = 0
+    for i in range(B):
+        was_flipped = not np.allclose(np.asarray(flipped["frames"][i]),
+                                      np.asarray(batch["frames"][i]))
+        if was_flipped:
+            n_flipped += 1
+            np.testing.assert_allclose(
+                np.asarray(flipped["frames"][i]),
+                np.asarray(batch["frames"][i])[:, :, ::-1, :])
+            np.testing.assert_allclose(
+                np.asarray(flipped["gazemaps"][i]),
+                np.asarray(batch["gazemaps"][i])[:, :, ::-1])
+            np.testing.assert_allclose(
+                np.asarray(flipped["c3d"][i]),
+                np.asarray(batch["c3d"][i])[:, :, :, ::-1])
+    assert n_flipped == B // 2
+
+
+def test_pretrained_shallownet_grafting(tmp_path):
+    """save_params + restore_shallownet = the reference's weight surgery."""
+    from recurrent_gaze_prediction_tpu.models import shallownet
+
+    pretrained = shallownet.init_params(jax.random.PRNGKey(7))
+    path = str(tmp_path / "shallownet_ckpt")
+    save_params(path, pretrained)
+
+    exp = _exp("gaze_rnn77")
+    model = registry.create_model("gaze_rnn77", exp.model)
+    params = model.init(jax.random.PRNGKey(0))
+    grafted = restore_shallownet(params, path)
+    for k in pretrained:
+        np.testing.assert_array_equal(np.asarray(pretrained[k]),
+                                      np.asarray(grafted["shallownet"][k]))
+    # other subtrees untouched
+    np.testing.assert_array_equal(np.asarray(params["proj_out_W"]),
+                                  np.asarray(grafted["proj_out_W"]))
