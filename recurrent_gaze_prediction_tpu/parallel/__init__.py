@@ -1,0 +1,31 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_spec,
+    make_mesh,
+    mesh_from_config,
+    params_shardings,
+    replicate,
+    shard_batch,
+    shard_params,
+)
+from .sharding import (
+    make_sharded_predict,
+    make_sharded_train_step,
+    place_state,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "mesh_from_config",
+    "batch_spec",
+    "shard_batch",
+    "shard_params",
+    "params_shardings",
+    "replicate",
+    "place_state",
+    "make_sharded_train_step",
+    "make_sharded_predict",
+]

@@ -1,0 +1,110 @@
+"""Device mesh + sharding helpers.
+
+The reference has NO distributed machinery at all — parallelism is joblib
+process pools and manually launched shards (SURVEY.md section 2.7). This
+module is the TPU-native replacement: a named `jax.sharding.Mesh` with a
+"data" axis (batch parallelism over ICI) and an optional "model" axis for
+sharding the wide FC / projection weights.
+
+Everything downstream composes through `NamedSharding`: jit partitions the
+program, XLA inserts the collectives (psum of grads over "data",
+all-gather/reduce-scatter for "model"-sharded matmuls).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ShardingConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data_parallel: int = -1, model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh of shape (data, model). data_parallel=-1 uses every device left
+    after the model axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_parallel <= 0:
+        model_parallel = 1
+    if data_parallel == -1:
+        data_parallel = n // model_parallel
+    need = data_parallel * model_parallel
+    if need > n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} needs {need} devices, "
+            f"have {n}")
+    grid = np.asarray(devices[:need]).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(cfg: ShardingConfig,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    return make_mesh(cfg.data_parallel, cfg.model_parallel, devices)
+
+
+def batch_spec() -> P:
+    """Batch arrays: sharded on the leading (batch) dim over "data"."""
+    return P(DATA_AXIS)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place host batch arrays on the mesh, batch-dim sharded over "data"."""
+    sharding = NamedSharding(mesh, batch_spec())
+    return {
+        k: jax.device_put(np.asarray(v), sharding)
+        for k, v in batch.items() if k != "clipnames"
+    }
+
+
+# --------------------------------------------------------- param shardings
+
+# Wide matmul weights worth sharding over the model axis: the ShallowNet FC
+# stack (3872x4802, 2401x4802 — the largest tensors in the framework,
+# SURVEY.md section 5 "distributed communication backend") and the C3D
+# 1024->512 projection / cascade FC heads.
+_MODEL_SHARDED_LEAVES = ("fc1_w", "fc2_w", "proj_c3d_W", "proj_out_W")
+
+
+def param_spec(path: tuple, leaf: Any, model_parallel: bool) -> P:
+    """Sharding rule per parameter leaf: last dim of wide FC kernels over
+    "model"; everything else replicated."""
+    if not model_parallel:
+        return P()
+    name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
+    if name in _MODEL_SHARDED_LEAVES and np.ndim(leaf) >= 2:
+        ncols = leaf.shape[-1]
+        return P(*([None] * (np.ndim(leaf) - 1)), MODEL_AXIS) \
+            if ncols % 2 == 0 else P()
+    return P()
+
+
+def params_shardings(params: Any, mesh: Mesh,
+                     model_parallel: Optional[bool] = None) -> Any:
+    """NamedSharding pytree matching `params`."""
+    if model_parallel is None:
+        model_parallel = mesh.shape[MODEL_AXIS] > 1
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [
+        NamedSharding(mesh, param_spec(path, leaf, model_parallel))
+        for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 model_parallel: Optional[bool] = None) -> Any:
+    return jax.device_put(params,
+                          params_shardings(params, mesh, model_parallel))

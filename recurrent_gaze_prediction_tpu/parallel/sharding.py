@@ -1,0 +1,116 @@
+"""Sharded train / inference steps.
+
+Data-parallel (+ optional model-parallel) versions of the train and predict
+steps: the same pure step functions as `train/state.py`, jit-partitioned
+over a mesh with explicit in/out shardings. XLA inserts the gradient psum
+over the "data" axis and the all-gathers for "model"-sharded weights — no
+hand-written collectives (SURVEY.md section 7 step 7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import GazeModel
+from ..train.state import TrainState, flip_half_batch
+from .mesh import batch_spec, params_shardings
+
+
+def _state_shardings(state: TrainState, mesh: Mesh,
+                     model_parallel: Optional[bool] = None) -> TrainState:
+    param_sh = params_shardings(state.params, mesh, model_parallel)
+
+    # optimizer state mirrors param shapes (adam mu/nu etc.); leaves whose
+    # shape/dtype matches a param leaf get that param's sharding, everything
+    # else (counters, scalars) is replicated
+    param_leaves = jax.tree_util.tree_leaves(state.params)
+    param_sh_leaves = jax.tree_util.tree_leaves(param_sh)
+    shape_to_sharding = {}
+    for leaf, sh in zip(param_leaves, param_sh_leaves):
+        shape_to_sharding.setdefault((leaf.shape, str(leaf.dtype)), sh)
+
+    def match(leaf):
+        key = (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", "")))
+        return shape_to_sharding.get(key, NamedSharding(mesh, P()))
+
+    opt_sh = jax.tree_util.tree_map(match, state.opt_state)
+    return TrainState(params=param_sh, opt_state=opt_sh,
+                      step=NamedSharding(mesh, P()))
+
+
+def place_state(state: TrainState, mesh: Mesh,
+                model_parallel: Optional[bool] = None) -> TrainState:
+    """Device-put the train state according to the mesh layout."""
+    sh = _state_shardings(state, mesh, model_parallel)
+    return jax.device_put(state, sh)
+
+
+def make_sharded_train_step(model: GazeModel, tx, mesh: Mesh, *,
+                            use_flip: Optional[bool] = None,
+                            model_parallel: Optional[bool] = None,
+                            donate: bool = True) -> Callable:
+    """jitted `step(state, batch, rng) -> (state, metrics)` partitioned over
+    the mesh: batch sharded on "data", params per the model-parallel rules."""
+    flip = model.cfg.use_flip_batch if use_flip is None else use_flip
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        rng_step = jax.random.fold_in(rng, state.step)
+        k_flip, k_drop = jax.random.split(rng_step)
+        if flip:
+            batch = flip_half_batch(batch, k_flip)
+
+        def loss_fn(params):
+            loss, _ = model.loss(params, batch, train=True, rng=k_drop)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               step=state.step + 1)
+        return new_state, {"loss": loss,
+                           "grad_norm": optax.global_norm(grads),
+                           "step": state.step + 1}
+
+    batch_sh = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, P())
+
+    def wrapper(state, batch, rng):
+        state_sh = _state_shardings(state, mesh, model_parallel)
+        batch_shardings = {k: batch_sh for k in batch}
+        jitted = jax.jit(
+            step_fn,
+            in_shardings=(state_sh, batch_shardings, repl),
+            out_shardings=(state_sh, {"loss": repl, "grad_norm": repl,
+                                      "step": repl}),
+            donate_argnums=(0,) if donate else (),
+        )
+        return jitted(state, batch, rng)
+
+    return wrapper
+
+
+def make_sharded_predict(model: GazeModel, mesh: Mesh, *,
+                         model_parallel: Optional[bool] = None) -> Callable:
+    """jitted batched inference partitioned over the mesh — the bulk
+    `extract_map.py`-style path, with batch over "data"."""
+    batch_sh = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, P())
+
+    def predict_fn(params, frames, c3d):
+        return model.predict(params, frames, c3d)
+
+    def wrapper(params, frames, c3d):
+        param_sh = params_shardings(params, mesh, model_parallel)
+        jitted = jax.jit(
+            predict_fn,
+            in_shardings=(param_sh, batch_sh, batch_sh),
+            out_shardings=batch_sh,
+        )
+        return jitted(params, frames, c3d)
+
+    return wrapper

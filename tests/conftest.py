@@ -1,9 +1,14 @@
 """Test harness: force an 8-device virtual CPU platform so sharding tests run
-without TPU hardware (SURVEY.md section 4 rebuild implication)."""
+without TPU hardware (SURVEY.md section 4 rebuild implication).
+
+The container's sitecustomize registers the TPU backend at interpreter
+start, so setting env vars alone is not enough — `jax.config.update`
+re-selects the platform after the fact.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
@@ -11,4 +16,5 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

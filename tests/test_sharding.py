@@ -1,0 +1,111 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+from recurrent_gaze_prediction_tpu.data import synthetic
+from recurrent_gaze_prediction_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    make_sharded_predict,
+    make_sharded_train_step,
+    place_state,
+    shard_batch,
+)
+from recurrent_gaze_prediction_tpu.train import create_train_state, make_train_step
+
+B, T = 8, 4  # batch divisible by the data axis
+
+
+def _setup(model_name="gaze_grcn77", **overrides):
+    exp = ExperimentConfig()
+    exp.model.n_lstm_steps = T
+    exp.model.batch_size = B
+    exp.model.compute_dtype = "float32"
+    exp.model.dim_cnn_proj = 16
+    exp.model.rnn_state_size = 8
+    for k, v in overrides.items():
+        setattr(exp.model, k, v)
+    model = registry.create_model(model_name, exp.model)
+    data = synthetic.make_splits(n_train=8, n_valid=0, n_test=0, t=T,
+                                 gazemap_hw=(model.cfg.gazemap_height,
+                                             model.cfg.gazemap_width))
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    return model, data, state, tx
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[MODEL_AXIS] == 2
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """DP over 8 devices must produce the same numbers as single-device
+    (flip disabled for determinism across layouts)."""
+    model, data, state, tx = _setup()
+    batch_np = data.train.next_batch(B)
+
+    # single-device baseline
+    step1 = make_train_step(model, tx, use_flip=False, donate=False)
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()
+              if k != "clipnames"}
+    state1, m1 = step1(state, batch1, jax.random.PRNGKey(5))
+
+    # 8-way data parallel
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    state_dp = place_state(state, mesh)
+    batch_dp = shard_batch(batch_np, mesh)
+    step8 = make_sharded_train_step(model, tx, mesh, use_flip=False,
+                                    donate=False)
+    state8, m8 = step8(state_dp, batch_dp, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_model_parallel_grcn_full():
+    """2-way model parallel x 4-way data parallel on the full gaze_grcn
+    (512 proj sharded over the model axis)."""
+    model, data, state, tx = _setup("gaze_grcn", dim_cnn_proj=512,
+                                    rnn_state_size=16)
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    state_mp = place_state(state, mesh)
+    batch = shard_batch(data.train.next_batch(B), mesh)
+    step = make_sharded_train_step(model, tx, mesh, use_flip=False,
+                                   donate=False)
+    new_state, metrics = step(state_mp, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # a second step to ensure the state round-trips
+    batch2 = shard_batch(data.train.next_batch(B), mesh)
+    _, metrics2 = step(new_state, batch2, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_sharded_predict_matches_local():
+    model, data, state, _ = _setup()
+    batch = data.train.next_batch(B)
+    local = model.predict(state.params,
+                          jnp.asarray(batch["frames"]),
+                          jnp.asarray(batch["c3d"]))
+
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    predict = make_sharded_predict(model, mesh)
+    sharded = predict(state.params, jnp.asarray(batch["frames"]),
+                      jnp.asarray(batch["c3d"]))
+    np.testing.assert_allclose(np.asarray(local), np.asarray(sharded),
+                               rtol=1e-4, atol=1e-6)
