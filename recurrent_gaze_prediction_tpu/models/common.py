@@ -61,12 +61,20 @@ def apply_c3d_projection(params: dict, c3d: jax.Array, *,
                          keep_prob: float, rng: Optional[jax.Array],
                          train: bool, compute_dtype=None) -> jax.Array:
     """[B,T,1024,7,7] -> [B,T,7,7,dim_proj] with dropout
-    (`gaze_grcn.py:239-254`). One [B*T*49, 1024] x [1024, proj] matmul."""
-    x = c3d_to_nhwc(c3d)
-    b, t = x.shape[:2]
-    flat = x.reshape(-1, x.shape[-1])
+    (`gaze_grcn.py:239-254`). One [B*T*49, 1024] x [1024, proj] matmul.
+
+    TPU layout note: the NCHW->NHWC move is done by casting to the compute
+    dtype FIRST, then swapping the (C, HW) axes, then the matmul — fp32
+    relayouts with a 49-wide minor dim are ~1000x slower than bf16 on TPU,
+    and the naive 5-D transpose of the raw [B,T,1024,7,7] block is worse.
+    """
+    b, t, c = c3d.shape[:3]
+    xb = c3d.reshape(b * t, c, 49)
+    if compute_dtype is not None:
+        xb = xb.astype(compute_dtype)
+    flat = jnp.swapaxes(xb, 1, 2).reshape(-1, c)  # [B*T*49, C]
     proj = linear(flat, params["proj_c3d_W"], params["proj_c3d_b"],
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype, out_dtype=compute_dtype)
     proj = dropout(proj, keep_prob, rng, deterministic=not train)
     return proj.reshape(b, t, 7, 7, -1)
 
@@ -99,11 +107,14 @@ def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
     if "bn_scale" in params:
         x = frozen_batch_norm(x, params["bn_scale"], params["bn_offset"])
     x = conv2d_transpose(x, params["up1_w"], stride=3, padding="VALID",
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         out_dtype=compute_dtype)
     x = conv2d_transpose(x, params["up2_w"], stride=2, padding="VALID",
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         out_dtype=compute_dtype)
     x = conv2d_transpose(x, params["up3_w"], stride=1, padding="SAME",
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         out_dtype=compute_dtype)
     n = x.shape[0]
     out = linear(x.reshape(-1, 12), params["out_W"], params["out_b"],
                  compute_dtype=compute_dtype)

@@ -81,10 +81,11 @@ class ConvGRU:
         }
 
     @staticmethod
-    def step(fused: dict, h: jax.Array, x: jax.Array,
-             compute_dtype=None) -> tuple[jax.Array, jax.Array]:
+    def step_precomputed(fused: dict, h: jax.Array, wx: jax.Array,
+                         compute_dtype=None) -> tuple[jax.Array, jax.Array]:
+        """One step given the precomputed input-side conv `wx` (3U channels).
+        Only the two state-dependent convs remain on the sequential path."""
         units = fused["U_c"].shape[-1]
-        wx = conv2d(x, fused["Wx_zrc"], compute_dtype=compute_dtype)
         uh = conv2d(h, fused["Uh_zr"], compute_dtype=compute_dtype)
         wz, wr, wc = jnp.split(wx, [units, 2 * units], axis=-1)
         uz, ur = jnp.split(uh, [units], axis=-1)
@@ -96,6 +97,13 @@ class ConvGRU:
         return new_h, new_h
 
     @staticmethod
+    def step(fused: dict, h: jax.Array, x: jax.Array,
+             compute_dtype=None) -> tuple[jax.Array, jax.Array]:
+        wx = conv2d(x, fused["Wx_zrc"], compute_dtype=compute_dtype)
+        return ConvGRU.step_precomputed(fused, h, wx,
+                                        compute_dtype=compute_dtype)
+
+    @staticmethod
     def zero_state(batch: int, spatial: tuple[int, int], num_units: int,
                    dtype=jnp.float32) -> jax.Array:
         return jnp.zeros((batch, spatial[0], spatial[1], num_units), dtype)
@@ -103,13 +111,24 @@ class ConvGRU:
     @staticmethod
     def scan(params: dict, x_tbhwc: jax.Array, h0: jax.Array,
              compute_dtype=None) -> tuple[jax.Array, jax.Array]:
-        """Run over time-major inputs [T, B, H, W, C] -> outputs [T, B, H, W, U]."""
+        """Run over time-major inputs [T, B, H, W, C] -> outputs [T, B, H, W, U].
+
+        The input-side conv (the expensive one — dim_feature up to 512
+        channels) is hoisted out of the scan and computed for all T frames
+        as ONE batched conv; only the state convs stay sequential.
+        """
         fused = ConvGRU.fuse(params)
+        t, b = x_tbhwc.shape[:2]
+        wx_all = conv2d(x_tbhwc.reshape(t * b, *x_tbhwc.shape[2:]),
+                        fused["Wx_zrc"], compute_dtype=compute_dtype,
+                        out_dtype=compute_dtype)
+        wx_all = wx_all.reshape(t, b, *wx_all.shape[1:])
 
-        def body(h, x):
-            return ConvGRU.step(fused, h, x, compute_dtype=compute_dtype)
+        def body(h, wx):
+            return ConvGRU.step_precomputed(fused, h, wx,
+                                            compute_dtype=compute_dtype)
 
-        final_h, ys = jax.lax.scan(body, h0, x_tbhwc)
+        final_h, ys = jax.lax.scan(body, h0, wx_all)
         return final_h, ys
 
 
@@ -165,11 +184,11 @@ class ConvLSTM:
         }
 
     @staticmethod
-    def step(fused: dict, carry: tuple[jax.Array, jax.Array], x: jax.Array,
-             compute_dtype=None) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+    def step_precomputed(fused: dict, carry: tuple[jax.Array, jax.Array],
+                         gx: jax.Array, compute_dtype=None
+                         ) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
         c, h = carry
         units = fused["W_ci"].shape[-1]
-        gx = conv2d(x, fused["Wx"], compute_dtype=compute_dtype)
         gh = conv2d(h, fused["Wh"], compute_dtype=compute_dtype)
         g = gx + gh
         gi, gf, gc, go = jnp.split(g, [units, 2 * units, 3 * units], axis=-1)
@@ -181,6 +200,13 @@ class ConvLSTM:
         return (new_c, new_h), new_h
 
     @staticmethod
+    def step(fused: dict, carry: tuple[jax.Array, jax.Array], x: jax.Array,
+             compute_dtype=None) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+        gx = conv2d(x, fused["Wx"], compute_dtype=compute_dtype)
+        return ConvLSTM.step_precomputed(fused, carry, gx,
+                                         compute_dtype=compute_dtype)
+
+    @staticmethod
     def zero_state(batch: int, spatial: tuple[int, int], num_units: int,
                    dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
         z = jnp.zeros((batch, spatial[0], spatial[1], num_units), dtype)
@@ -190,12 +216,19 @@ class ConvLSTM:
     def scan(params: dict, x_tbhwc: jax.Array,
              carry0: tuple[jax.Array, jax.Array],
              compute_dtype=None) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+        """Input-side gate convs hoisted out of the scan (see ConvGRU.scan)."""
         fused = ConvLSTM.fuse(params)
+        t, b = x_tbhwc.shape[:2]
+        gx_all = conv2d(x_tbhwc.reshape(t * b, *x_tbhwc.shape[2:]),
+                        fused["Wx"], compute_dtype=compute_dtype,
+                        out_dtype=compute_dtype)
+        gx_all = gx_all.reshape(t, b, *gx_all.shape[1:])
 
-        def body(carry, x):
-            return ConvLSTM.step(fused, carry, x, compute_dtype=compute_dtype)
+        def body(carry, gx):
+            return ConvLSTM.step_precomputed(fused, carry, gx,
+                                             compute_dtype=compute_dtype)
 
-        return jax.lax.scan(body, carry0, x_tbhwc)
+        return jax.lax.scan(body, carry0, gx_all)
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +282,29 @@ class FlatGRU:
     @staticmethod
     def scan(params: dict, x_tbc: jax.Array, h0: jax.Array,
              compute_dtype=None) -> tuple[jax.Array, jax.Array]:
-        def body(h, x):
-            return FlatGRU.step(params, h, x, compute_dtype=compute_dtype)
+        """Input-side matmuls hoisted: the gate/candidate kernels split into
+        input rows (x @ W[:D]) computed for all T at once, and state rows
+        (h @ W[D:]) on the sequential path."""
+        t, b, d = x_tbc.shape
+        units = h0.shape[-1]
+        gk_x, gk_h = params["gates_kernel"][:d], params["gates_kernel"][d:]
+        ck_x, ck_h = (params["candidate_kernel"][:d],
+                      params["candidate_kernel"][d:])
 
-        return jax.lax.scan(body, h0, x_tbc)
+        flat_x = x_tbc.reshape(t * b, d)
+        gx_all = linear(flat_x, gk_x, params["gates_bias"],
+                        compute_dtype=compute_dtype).reshape(t, b, 2 * units)
+        cx_all = linear(flat_x, ck_x, params["candidate_bias"],
+                        compute_dtype=compute_dtype).reshape(t, b, units)
+
+        def body(h, inputs):
+            gx, cx = inputs
+            gates = jax.nn.sigmoid(
+                gx + linear(h, gk_h, compute_dtype=compute_dtype))
+            r, u = jnp.split(gates, [units], axis=-1)
+            c = jnp.tanh(cx + linear(r * h, ck_h,
+                                     compute_dtype=compute_dtype))
+            new_h = u * h + (1.0 - u) * c
+            return new_h, new_h
+
+        return jax.lax.scan(body, h0, (gx_all, cx_all))

@@ -26,8 +26,14 @@ def _cast(x: jax.Array, dtype) -> jax.Array:
 
 
 def conv2d(x: jax.Array, kernel: jax.Array, *, stride: int | tuple[int, int] = 1,
-           padding: str = "SAME", compute_dtype=None) -> jax.Array:
-    """2-D convolution, NHWC x HWIO -> NHWC, fp32 accumulation."""
+           padding: str = "SAME", compute_dtype=None,
+           out_dtype=None) -> jax.Array:
+    """2-D convolution, NHWC x HWIO -> NHWC, fp32 accumulation.
+
+    `out_dtype` casts the (fp32-accumulated) result, e.g. back to bf16 to
+    keep downstream layout ops cheap — fp32 tensors with small minor dims
+    are pathologically slow to relayout on TPU.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     out = lax.conv_general_dilated(
@@ -36,12 +42,13 @@ def conv2d(x: jax.Array, kernel: jax.Array, *, stride: int | tuple[int, int] = 1
         dimension_numbers=_CONV_DIMS,
         preferred_element_type=jnp.float32,
     )
-    return out
+    return _cast(out, out_dtype)
 
 
 def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
                      stride: int | tuple[int, int],
-                     padding: str = "VALID", compute_dtype=None) -> jax.Array:
+                     padding: str = "VALID", compute_dtype=None,
+                     out_dtype=None) -> jax.Array:
     """Fractionally-strided conv. kernel layout HWIO ([h, w, in_ch, out_ch]).
 
     With VALID padding the output spatial size is (in-1)*stride + k, matching
@@ -56,7 +63,7 @@ def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
         dimension_numbers=_CONV_DIMS,
         preferred_element_type=jnp.float32,
     )
-    return out
+    return _cast(out, out_dtype)
 
 
 def conv3d(x: jax.Array, kernel: jax.Array, *,
@@ -126,13 +133,13 @@ def max_pool3d(x: jax.Array, window: Sequence[int],
 
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None, *,
-           compute_dtype=None) -> jax.Array:
+           compute_dtype=None, out_dtype=None) -> jax.Array:
     """x @ w + b with fp32 accumulation (`tf.nn.xw_plus_b`)."""
     out = jnp.dot(_cast(x, compute_dtype), _cast(w, compute_dtype),
                   preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out
+    return _cast(out, out_dtype)
 
 
 def maxout2(x: jax.Array) -> jax.Array:
