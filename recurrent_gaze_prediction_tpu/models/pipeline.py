@@ -1,0 +1,83 @@
+"""Fused end-to-end inference pipeline: raw video frames -> C3D -> gaze model.
+
+The reference runs C3D as an OFFLINE subprocess producing `.c3d` pickles
+that a later process loads (`extract_C3D_features.py` -> `crc_input_data_seq
+.py` -> `models/extract_map.py`). Here the whole chain is one jitted XLA
+program: windowed 3-D conv feature extraction, channel folding, frame
+subsampling, recurrent gaze prediction — "train_gaze-style loops never leave
+the TPU" (BASELINE.json north star).
+
+Temporal protocol (faithful to the reference's loader):
+  * C3D features: one timestep per non-overlapping 16-frame window
+    (`extract_C3D_features.py:866`)
+  * model frames: every 5th frame starting at 15 ([15::5],
+    `crc_input_data_seq.py:186`), resized to 98x98
+  * streams truncated to the common length (`crc_input_data_seq.py:338-347`)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.common import GazeModel
+from . import c3d as c3d_model
+
+
+def pipeline_timesteps(num_frames: int, window: int = 16,
+                       frame_offset: int = 15, frame_stride: int = 5) -> int:
+    n_windows = num_frames // window
+    n_frames = max(0, (num_frames - frame_offset + frame_stride - 1)
+                   // frame_stride)
+    return min(n_windows, n_frames)
+
+
+def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
+                        video_frames: jax.Array, *,
+                        mean_cube: Optional[jax.Array] = None,
+                        compute_dtype=jnp.bfloat16) -> jax.Array:
+    """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
+
+    F is static; T = pipeline_timesteps(F). Jit this (optionally with the
+    model closed over) for the fused single-program path.
+    """
+    b, f = video_frames.shape[:2]
+    t = pipeline_timesteps(f)
+    if t <= 0:
+        raise ValueError(f"need >= 16 frames and >= 16 subsampled offset, "
+                         f"got F={f}")
+
+    # --- C3D stream: [B, n_windows, 16, H, W, 3] -> conv5b -> fold
+    n_windows = f // 16
+    windows = video_frames[:, :n_windows * 16].reshape(
+        b, n_windows, 16, *video_frames.shape[2:])
+    clips = windows.reshape(b * n_windows, 16, *video_frames.shape[2:])
+    clips = c3d_model.preprocess_frames(clips, mean_cube=mean_cube)
+    feats = c3d_model.apply(c3d_params, clips, feature_layer="conv5b",
+                            compute_dtype=compute_dtype)
+    feats = c3d_model.conv5b_to_rgp(feats)          # [B*W, 1024, 7, 7]
+    feats = feats.reshape(b, n_windows, 1024, 7, 7)[:, :t]
+
+    # --- frame stream: [15::5] subsample, resize to 98x98, [0, 1] scale
+    sub = video_frames[:, 15::5][:, :t]
+    sub = jax.image.resize(sub.astype(jnp.float32),
+                           (b, t, 98, 98, 3), method="bilinear") / 255.0
+
+    return gaze_model.predict(gaze_params, sub, feats)
+
+
+def make_fused_predict(gaze_model: GazeModel, *, num_frames: int,
+                       compute_dtype=jnp.bfloat16):
+    """Returns jitted `fn(c3d_params, gaze_params, video_frames)` for a fixed
+    clip length — the production bulk-inference entry point."""
+
+    @jax.jit
+    def fn(c3d_params, gaze_params, video_frames):
+        return extract_and_predict(c3d_params, gaze_params, gaze_model,
+                                   video_frames,
+                                   compute_dtype=compute_dtype)
+
+    return fn

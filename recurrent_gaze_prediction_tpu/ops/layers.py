@@ -68,7 +68,8 @@ def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
 
 def conv3d(x: jax.Array, kernel: jax.Array, *,
            stride: Sequence[int] = (1, 1, 1),
-           padding: str = "SAME", compute_dtype=None) -> jax.Array:
+           padding: str = "SAME", compute_dtype=None,
+           out_dtype=None) -> jax.Array:
     """3-D convolution, NDHWC x DHWIO -> NDHWC (C3D conv blocks).
 
     Mirrors CONVOLUTION3D layers with kernel 3x3x3, pad 1
@@ -80,7 +81,7 @@ def conv3d(x: jax.Array, kernel: jax.Array, *,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.float32,
     )
-    return out
+    return _cast(out, out_dtype)
 
 
 def max_pool2d(x: jax.Array, window: int | tuple[int, int],

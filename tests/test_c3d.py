@@ -1,0 +1,112 @@
+"""C3D model, blob codec, and fused pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.data import codec
+from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+
+
+def test_conv5b_feature_shape():
+    params = c3d.init_params(jax.random.PRNGKey(0))
+    clips = jnp.zeros((1, 16, 112, 112, 3))
+    feats = c3d.apply(params, clips, feature_layer="conv5b")
+    assert feats.shape == (1, 2, 7, 7, 512)
+
+
+def test_fc_path_shapes():
+    params = c3d.init_params(jax.random.PRNGKey(0))
+    clips = jnp.zeros((1, 16, 112, 112, 3))
+    assert c3d.apply(params, clips, feature_layer="pool5").shape == \
+        (1, 1, 4, 4, 512)
+    assert c3d.apply(params, clips, feature_layer="fc6").shape == (1, 4096)
+    probs = c3d.apply(params, clips, feature_layer="prob")
+    assert probs.shape == (1, 487)
+    np.testing.assert_allclose(np.asarray(probs).sum(), 1.0, rtol=1e-4)
+
+
+def test_conv5b_fold_matches_blob_reshape():
+    """NDHWC fold must equal the reference's raw-blob reshape(1024, 7, 7)."""
+    rng = np.random.RandomState(0)
+    blob = rng.rand(3, 512, 2, 7, 7).astype(np.float32)  # [N, C, L, H, W]
+    # reference path: flat channel-major reshape
+    expected = blob.reshape(3, 1024, 7, 7)
+    # our path: NDHWC features -> conv5b_to_rgp
+    ndhwc = np.transpose(blob, (0, 2, 3, 4, 1))  # [N, L, H, W, C]
+    folded = np.asarray(c3d.conv5b_to_rgp(jnp.array(ndhwc)))
+    np.testing.assert_array_equal(folded, expected)
+
+
+def test_preprocess_geometry():
+    frames = jnp.zeros((2, 16, 240, 320, 3))
+    out = c3d.preprocess_frames(frames)
+    assert out.shape == (2, 16, 112, 112, 3)
+
+
+def test_clip_windows():
+    assert c3d.clip_windows(48) == [0, 16, 32]
+    assert c3d.clip_windows(50) == [0, 16, 32, 48]  # range(0, n, 16)
+
+
+def test_caffe_weight_ingestion():
+    rng = np.random.RandomState(1)
+    arrays = {}
+    in_ch = 3
+    for name, out_ch in c3d.CONV_LAYERS:
+        arrays[name] = (rng.randn(out_ch, in_ch, 3, 3, 3).astype(np.float32),
+                        rng.randn(out_ch).astype(np.float32))
+        in_ch = out_ch
+    for name, d_in, d_out in c3d.FC_LAYERS:
+        arrays[f"{name}-1"] = (rng.randn(d_out, d_in).astype(np.float32),
+                               rng.randn(d_out).astype(np.float32))
+    params = c3d.params_from_caffe_arrays(arrays)
+    assert params["conv1a_w"].shape == (3, 3, 3, 3, 64)
+    assert params["fc6_w"].shape == (8192, 4096)
+    # spot-check the transpose: caffe [out,in,kd,kh,kw] -> dhwio
+    w = arrays["conv1a"][0]
+    np.testing.assert_array_equal(np.asarray(params["conv1a_w"])[0, 1, 2, :, 5],
+                                  w[5, :, 0, 1, 2])
+
+
+def test_blob_codec_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    blob = rng.rand(1, 512, 2, 7, 7).astype(np.float32)
+    path = str(tmp_path / "win.conv5b")
+    codec.write_binary_blob(path, blob)
+    back = codec.read_binary_blob(path)
+    np.testing.assert_array_equal(blob, back)
+
+
+def test_c3d_file_roundtrip_and_model_load(tmp_path):
+    rng = np.random.RandomState(3)
+    windows = [rng.rand(1, 512, 2, 7, 7).astype(np.float32) for _ in range(4)]
+    path = str(tmp_path / "video.c3d")
+    codec.write_c3d_file(path, windows)
+    arr = codec.read_c3d_file(path)
+    assert arr.shape == (4, 1, 512, 2, 7, 7)
+    model_feats = codec.load_c3d_for_model(path)
+    assert model_feats.shape == (4, 1024, 7, 7)
+    np.testing.assert_array_equal(
+        model_feats, np.squeeze(arr).reshape(4, 1024, 7, 7))
+
+
+def test_fused_pipeline_end_to_end():
+    """Raw frames -> C3D -> gaze_grcn, one jitted program."""
+    t_frames = 32  # 2 windows; [15::5] gives frames 15,20,25,30 -> T=2
+    gaze_model = registry.create_model("gaze_grcn", n_lstm_steps=2,
+                                      batch_size=1, compute_dtype="float32",
+                                      rnn_state_size=8, dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = gaze_model.init(jax.random.PRNGKey(1))
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, t_frames, 64, 80, 3))
+        .astype(np.float32))
+    t = pipeline.pipeline_timesteps(t_frames)
+    assert t == 2
+    out = pipeline.extract_and_predict(c3d_params, gaze_params, gaze_model,
+                                       frames, compute_dtype=jnp.float32)
+    assert out.shape == (1, t, 49, 49)
+    assert np.isfinite(np.asarray(out)).all()
