@@ -1,0 +1,172 @@
+"""Data-pipeline tests on a synthetic on-disk dataset that follows the
+reference container formats exactly (frames/.mat/.c3d folder layout)."""
+
+import os
+import pickle
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+from recurrent_gaze_prediction_tpu.data import (
+    DatasetLayout,
+    gazemap,
+    read_crc_data_sets,
+    salicon,
+    seq2batch,
+    split_foldernames,
+)
+
+N_FRAMES = 120   # raw frames per clip
+ORIG_H, ORIG_W = 36, 48
+
+
+def _write_fake_dataset(root, n_clips=3, n_users=3, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "vid_frm"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gazemap"), exist_ok=True)
+    os.makedirs(os.path.join(root, "vid_c3d"), exist_ok=True)
+    for ci in range(n_clips):
+        clip = f"actionclip{'test' if ci == n_clips - 1 else 'train'}{ci:05d}"
+        fdir = os.path.join(root, "vid_frm", clip)
+        os.makedirs(fdir, exist_ok=True)
+        for fi in range(N_FRAMES):
+            arr = rng.randint(0, 255, (98, 98, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(fdir, f"{fi:06d}.jpg"))
+
+        # raw one-hot gaze per user + pupil, then derived keys
+        with h5py.File(os.path.join(root, "gazemap", clip + ".mat"),
+                       "w") as mat:
+            grp = mat.create_group("data")
+            for ui in range(n_users):
+                user = grp.create_group(f"user{ui:02d}")
+                raw = np.zeros((N_FRAMES, ORIG_H, ORIG_W), np.uint8)
+                ys = rng.randint(0, ORIG_H, N_FRAMES)
+                xs = rng.randint(0, ORIG_W, N_FRAMES)
+                raw[np.arange(N_FRAMES), ys, xs] = 1
+                user["gazemap"] = raw
+                user["pupilsize"] = rng.rand(N_FRAMES).astype(np.float64)
+            gazemap.process_mat_file(mat)
+
+        # c3d windows: one per 16 frames
+        n_windows = N_FRAMES // 16
+        blobs = rng.rand(n_windows, 1, 512, 2, 7, 7).astype(np.float32)
+        with open(os.path.join(root, "vid_c3d", clip + ".c3d"), "wb") as f:
+            pickle.dump(blobs, f, protocol=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crc_data"))
+    return _write_fake_dataset(root)
+
+
+def test_process_mat_adds_keys(fake_root):
+    path = os.path.join(fake_root, "gazemap")
+    mat_files = sorted(os.listdir(path))
+    with h5py.File(os.path.join(path, mat_files[0]), "r") as mat:
+        user = list(mat.values())[0]["user00"]
+        for key in ("gazemap49x49", "gazemap48x48", "gazemap7x7",
+                    "fixation", "fixation_t", "fixation_r", "fixation_c"):
+            assert key in user, key
+        assert user["gazemap49x49"].shape == (N_FRAMES, 49, 49)
+        # every frame had exactly one gaze point
+        assert np.asarray(user["gazemap49x49"]).sum() == N_FRAMES
+
+
+def test_resize_onehot_projection():
+    x = np.zeros((1, 10, 10), np.uint8)
+    x[0, 0, 0] = 1
+    x[0, 9, 9] = 1
+    out = gazemap.resize_onehot_tensor(x, (49, 49))
+    assert out[0, 0, 0] and out[0, 48, 48]
+    assert out.sum() == 2
+
+
+def test_fill_gazemap_forward_fill():
+    g = np.zeros((3, 4, 4), np.float32)
+    g[0, 1, 1] = 1.0
+    gazemap.fill_gazemap(g)
+    assert g[1, 1, 1] == 1.0 and g[2, 1, 1] == 1.0
+
+
+def test_seq2batch_chunking():
+    data = np.arange(100).reshape(100, 1)
+    wins = seq2batch(data, 42)
+    assert len(wins) == 3  # 2 full + overlapping tail
+    np.testing.assert_array_equal(wins[0].ravel(), np.arange(42))
+    np.testing.assert_array_equal(wins[1].ravel(), np.arange(42, 84))
+    np.testing.assert_array_equal(wins[2].ravel(), np.arange(58, 100))
+    # short clip -> tiled
+    short = np.arange(10).reshape(10, 1)
+    wins = seq2batch(short, 42)
+    assert len(wins) == 1 and len(wins[0]) == 42
+    np.testing.assert_array_equal(wins[0].ravel()[:20],
+                                  np.tile(np.arange(10), 2))
+
+
+def test_read_crc_data_sets_end_to_end(fake_root, tmp_path):
+    layout = DatasetLayout(root=fake_root)
+    data = read_crc_data_sets(
+        98, 98, 49, 49, dataset="crc", layouts={"crc": layout},
+        seq_len=8, use_cache=True, cache_dir=str(tmp_path / "cache"),
+        parallel_jobs=2)
+    assert data.train is not None
+    batch = data.train.next_batch(1)
+    assert batch["frames"].shape == (1, 8, 98, 98, 3)
+    assert batch["gazemaps"].shape == (1, 8, 49, 49)
+    assert batch["fixationmaps"].shape == (1, 8, 49, 49)
+    assert batch["c3d"].shape == (1, 8, 1024, 7, 7)
+    assert batch["pupils"].shape == (1, 8)
+    assert batch["frames"].dtype == np.float32
+    assert 0.0 <= batch["frames"].min() and batch["frames"].max() <= 1.0
+    # blurred gazemaps are min-max normalized per frame
+    assert batch["gazemaps"].max() <= 1.0 + 1e-6
+    # fixation maps are integer counts of user fixations
+    assert batch["fixationmaps"].max() >= 1.0
+
+    # cache round-trip
+    data2 = read_crc_data_sets(
+        98, 98, 49, 49, dataset="crc", layouts={"crc": layout},
+        seq_len=8, use_cache=True, cache_dir=str(tmp_path / "cache"),
+        split_modes="train", parallel_jobs=2)
+    np.testing.assert_array_equal(data.train.frames, data2.train.frames)
+
+
+def test_split_foldernames_hollywood_ordering(fake_root):
+    layout = DatasetLayout(root=fake_root)
+    split = split_foldernames("hollywood2", layout)
+    all_names = split["train"] + split["valid"] + split["test"]
+    # 'test' clips must sort after train clips
+    test_positions = [i for i, n in enumerate(all_names) if "test" in n]
+    train_positions = [i for i, n in enumerate(all_names) if "test" not in n]
+    assert max(train_positions) < min(test_positions)
+
+
+def test_salicon_loader(tmp_path):
+    rng = np.random.RandomState(0)
+    root = str(tmp_path / "salicon")
+    img_dir = os.path.join(root, "images", "train98x98")
+    map_dir = os.path.join(root, "saliencymaps", "train49x49")
+    fix_dir = os.path.join(root, "fixations", "train")
+    for d in (img_dir, map_dir, fix_dir):
+        os.makedirs(d)
+    for i in range(10):
+        name = f"img{i:03d}.jpg"
+        Image.fromarray(rng.randint(0, 255, (98, 98, 3)).astype(
+            np.uint8)).save(os.path.join(img_dir, name))
+        Image.fromarray(rng.randint(0, 255, (49, 49)).astype(
+            np.uint8)).save(os.path.join(map_dir, name))
+        fix = np.zeros((36, 48), np.uint8)
+        fix[rng.randint(0, 36, 5), rng.randint(0, 48, 5)] = 1
+        np.save(os.path.join(fix_dir, name + ".npy"), fix)
+
+    sal = salicon.SaliconData(root=root, use_val_split=True).build()
+    assert len(sal.train) == 8 and len(sal.valid) == 2
+    images, maps, fixs = sal.train.next_batch(4)
+    assert images.shape == (4, 98, 98, 3)
+    assert maps.shape == (4, 49, 49)
+    assert len(fixs) == 4
+    assert images.max() <= 1.0
