@@ -1,0 +1,132 @@
+"""Offline checkpoint evaluation.
+
+CLI rebuild of `/root/reference/models/evaluate_gaze.py`: load a trained
+run (config + latest checkpoint), run inference over the validation split,
+score every frame with the saliency metrics, dump per-frame scores and
+frame/pred/gt images, and write the aggregate `overall.txt`
+(`evaluate_gaze.py:116-227`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import crc as crc_data
+from ..data import synthetic
+from ..eval import evaluator, metrics_np
+from ..registry import create_model
+from ..train import Checkpointer, create_train_state, make_predict_fn
+from ..utils import log, mkdir_p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--out_dir", default=None)
+    parser.add_argument("--dataset", default=None,
+                        help="override the dataset recorded in config.json")
+    parser.add_argument("--data_root", default=None)
+    parser.add_argument("--num_frames", default=None, type=int,
+                        help="cap on evaluated frames (reference --num_frames)")
+    parser.add_argument("--dump_images", action="store_true")
+    parser.add_argument("--on_device", action="store_true", default=True)
+    parser.add_argument("--numpy_protocol", dest="on_device",
+                        action="store_false",
+                        help="use the per-frame NumPy protocol with "
+                             "original-scale resize")
+    parser.add_argument("--metrics", nargs="*",
+                        default=list(evaluator.AVAILABLE_METRICS))
+    return parser
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    exp = Checkpointer.load_config(args.train_dir)
+    if args.dataset:
+        exp.dataset = args.dataset
+    model = create_model(exp.model.name, exp.model)
+
+    # dummy-free equivalent of the reference's empty-dataset model build
+    state, _ = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    ckpt = Checkpointer(args.train_dir)
+    restored = ckpt.restore_latest(jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state))
+    if restored is None:
+        log.error("no checkpoint found under %s", args.train_dir)
+        return 1
+    state = restored
+
+    gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+    if exp.dataset == "synthetic":
+        dataset = synthetic.make_splits(
+            n_train=2, n_valid=8, n_test=2, t=model.cfg.n_lstm_steps,
+            gazemap_hw=(gh, gw), seed=exp.seed).valid
+    else:
+        layouts = {exp.dataset: crc_data.DatasetLayout(root=args.data_root)}
+        dataset = crc_data.read_crc_data_sets(
+            model.cfg.image_height, model.cfg.image_width, gh, gw,
+            dataset=exp.dataset, layouts=layouts, split_modes="valid",
+            fixation_original_scale=not args.on_device,
+            max_folders=500).valid
+
+    max_instances = None
+    if args.num_frames is not None:
+        max_instances = args.num_frames // model.cfg.n_lstm_steps + 1
+
+    predict = make_predict_fn(model)
+    ret = evaluator.generate(predict, state.params, dataset,
+                             model.cfg.batch_size, max_instances)
+    scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
+                                ret["fixationmaps"], metrics=args.metrics,
+                                on_device=args.on_device)
+
+    out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
+    mkdir_p(out_dir)
+    evaluator.write_overall(os.path.join(out_dir, "overall.txt"), scores)
+    log.infov("wrote %s", os.path.join(out_dir, "overall.txt"))
+
+    # per-frame scores (reference scores.txt, evaluate_gaze.py:149-158)
+    per_frame = evaluator.metrics_jax.evaluate_batch(
+        jax.numpy.asarray(ret["pred_gazemaps"]),
+        jax.numpy.asarray(ret["gt_gazemaps"]),
+        jax.numpy.asarray(ret["fixationmaps"]),
+        jax.random.PRNGKey(0), metrics=tuple(args.metrics))
+    with open(os.path.join(out_dir, "scores.txt"), "w") as f:
+        f.write("frame\t" + "\t".join(args.metrics) + "\n")
+        n = len(ret["pred_gazemaps"])
+        for i in range(n):
+            row = "\t".join(f"{float(per_frame[m][i]):.6f}"
+                            for m in args.metrics)
+            f.write(f"{i:06d}\t{row}\n")
+
+    if args.dump_images:
+        from PIL import Image
+
+        def _save(path, arr):
+            arr = np.asarray(arr, np.float32)
+            lo, hi = arr.min(), arr.max()
+            if hi > lo:
+                arr = (arr - lo) / (hi - lo)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+        for i in range(min(len(ret["pred_gazemaps"]), 200)):
+            _save(os.path.join(out_dir, f"{i:06d}_pred.png"),
+                  ret["pred_gazemaps"][i])
+            _save(os.path.join(out_dir, f"{i:06d}_gt.png"),
+                  ret["gt_gazemaps"][i])
+            frame = (np.asarray(ret["images"][i]) * 255).astype(np.uint8)
+            Image.fromarray(frame).save(
+                os.path.join(out_dir, f"{i:06d}_frame.png"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

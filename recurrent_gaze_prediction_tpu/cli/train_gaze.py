@@ -1,0 +1,136 @@
+"""Train a gaze-prediction model.
+
+CLI rebuild of `/root/reference/models/train_gaze.py`: model registry
+selection, config overrides (CLI wins), dataset loading, optional
+pretrained-ShallowNet initialization, fit, and a final evaluation on the
+test split.
+
+    python -m recurrent_gaze_prediction_tpu.cli.train_gaze \
+        --model gaze_grcn --dataset synthetic --max_steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+import jax
+
+from ..config import ExperimentConfig
+from ..data import crc as crc_data
+from ..data import synthetic
+from ..eval import evaluator
+from ..registry import available_models, create_model
+from ..train import (
+    create_train_state,
+    fit,
+    make_predict_fn,
+    restore_shallownet,
+)
+from ..train.state import TrainState
+from ..train.writer import MetricWriter
+from ..utils import log
+
+
+def load_datasets(exp: ExperimentConfig, args) -> "DataSplits":
+    gh, gw = exp.model.gazemap_height, exp.model.gazemap_width
+    if exp.dataset == "synthetic":
+        return synthetic.make_splits(
+            n_train=args.synthetic_clips, n_valid=max(args.synthetic_clips // 2, 2),
+            n_test=max(args.synthetic_clips // 2, 2),
+            t=exp.model.n_lstm_steps, gazemap_hw=(gh, gw), seed=exp.seed)
+    layouts = {}
+    for name in ("crc", "hollywood2"):
+        if args.data_root:
+            layouts[name] = crc_data.DatasetLayout(
+                root=args.data_root if exp.dataset != "crcxh2"
+                else f"{args.data_root}/{name}")
+    return crc_data.read_crc_data_sets(
+        exp.model.image_height, exp.model.image_width, gh, gw,
+        dataset=exp.dataset, layouts=layouts, cache_dir=args.cache_dir,
+        max_folders=args.max_folders)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", default="gaze_grcn",
+                        choices=available_models())
+    parser.add_argument("--dataset", default="synthetic",
+                        choices=["crc", "hollywood2", "crcxh2", "synthetic"])
+    parser.add_argument("--data_root", default=None)
+    parser.add_argument("--cache_dir", default=None)
+    parser.add_argument("--max_folders", default=None, type=int)
+    parser.add_argument("--synthetic_clips", default=16, type=int)
+    parser.add_argument("--batch_size", default=None, type=int)
+    parser.add_argument("--learning_rate", default=None, type=float)
+    parser.add_argument("--learning_rate_decay", default=None, type=float)
+    parser.add_argument("--max_steps", default=None, type=int)
+    parser.add_argument("--loss_type", default=None,
+                        choices=[None, "l2", "xentropy", "kld"])
+    parser.add_argument("--n_lstm_steps", default=None, type=int)
+    parser.add_argument("--train_dir", default=None)
+    parser.add_argument("--train_tag", "--tag", default="")
+    parser.add_argument("--shallownet_pretrain", default=None,
+                        help="params checkpoint to graft into ShallowNet")
+    parser.add_argument("--compute_dtype", default=None)
+    parser.add_argument("--seed", default=0, type=int)
+    return parser
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    exp = ExperimentConfig()
+    exp.dataset = args.dataset
+    exp.seed = args.seed
+    exp.train_dir = args.train_dir
+    exp.train_tag = args.train_tag
+    exp.model.name = args.model
+    exp.apply_overrides({
+        "model.batch_size": args.batch_size,
+        "model.loss_type": args.loss_type,
+        "model.n_lstm_steps": args.n_lstm_steps,
+        "model.compute_dtype": args.compute_dtype,
+        "optimizer.initial_learning_rate": args.learning_rate,
+        "optimizer.learning_rate_decay": args.learning_rate_decay,
+        "schedule.max_steps": args.max_steps,
+    })
+
+    model = create_model(args.model, exp.model)
+    exp.model = model.cfg  # registry defaults applied
+
+    log.warn("Loading %s input data ...", exp.dataset)
+    data = load_datasets(exp, args)
+    log.info("%s", data)
+
+    log.warn("Building model %s ...", args.model)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(exp.seed))
+
+    if args.shallownet_pretrain:
+        params = restore_shallownet(state.params, args.shallownet_pretrain)
+        state = TrainState(params=params, opt_state=state.opt_state,
+                           step=state.step)
+
+    writer = MetricWriter(exp.train_dir) if exp.train_dir else None
+    log.warn("Start fitting ...")
+    state = fit(model, state, tx, data, exp, train_dir=exp.train_dir,
+                metric_writer=writer)
+
+    if data.test is not None and len(data.test) >= model.cfg.batch_size:
+        log.warn("Final test-split evaluation ...")
+        predict = make_predict_fn(model)
+        _, scores = evaluator.generate_and_evaluate(
+            predict, state.params, data.test, model.cfg.batch_size,
+            max_instances=None)
+        if writer:
+            writer.scalars(int(state.step),
+                           {f"test/{m}": s for m, s in scores.items()})
+    if writer:
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

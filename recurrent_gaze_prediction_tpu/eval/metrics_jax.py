@@ -94,6 +94,7 @@ def auc_judd_batch(pred: jax.Array, fixation: jax.Array, key: jax.Array,
     s = _flatten(pred).astype(jnp.float32)
     f = _flatten(fixation) > 0.5
     n, p_pixels = s.shape
+    max_fix = min(max_fix, p_pixels)
 
     if jitter:
         s = s + jax.random.uniform(key, s.shape) * 1e-7
@@ -170,6 +171,7 @@ def auc_borji_batch(pred: jax.Array, fixation: jax.Array, key: jax.Array,
     s = _normalize_range(_flatten(pred).astype(jnp.float32))
     f = _flatten(fixation) > 0.5
     n, p_pixels = s.shape
+    max_fix = min(max_fix, p_pixels)
 
     # fixated values packed into capacity K (descending with -inf padding)
     fix_vals = jnp.where(f, s, -jnp.inf)
@@ -194,6 +196,7 @@ def auc_shuffled_batch(pred: jax.Array, fixation: jax.Array,
     s = _normalize_range(_flatten(pred).astype(jnp.float32))
     f = _flatten(fixation) > 0.5
     n, p_pixels = s.shape
+    max_fix = min(max_fix, p_pixels)
 
     fix_vals = jnp.where(f, s, -jnp.inf)
     s_fix = jax.lax.top_k(fix_vals, max_fix)[0]
@@ -231,9 +234,9 @@ ALL_METRICS = ("sim", "cc", "nss", "kld", "AUC_Judd", "AUC_Borji",
 def build_other_map_union(fixations: jax.Array, key: jax.Array,
                           m: int = 10) -> jax.Array:
     """Union of M randomly chosen fixation maps
-    (`evaluation_metrics.py:283-287`)."""
+    (`evaluation_metrics.py:283-287`); M is capped at the population size."""
     n = fixations.shape[0]
-    idx = jax.random.choice(key, n, (m,), replace=False)
+    idx = jax.random.choice(key, n, (min(m, n),), replace=False)
     return (fixations[idx] > 0).sum(axis=0)
 
 

@@ -233,8 +233,7 @@ def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
     assert len(gt_maps) == len(pred_maps) == len(fixation_maps)
     rng = rng or np.random
 
-    m = 10
-    assert len(fixation_maps) >= m
+    m = min(10, len(fixation_maps))
     first = fixation_maps[0]
     if scipy.sparse.issparse(first):
         first = first.toarray()
