@@ -1,0 +1,108 @@
+"""Action-classification subsystem tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu.action import (
+    ActionClassifier,
+    ActionHParams,
+    evaluate,
+    iter_record_batches,
+    load_clipset_labels,
+    multi_hot,
+    read_record_shard,
+    write_record_shard,
+)
+
+
+def _fake_records(n=32, seed=0, learnable=True):
+    """Synthetic frame records where class c correlates with c3d channel c."""
+    rng = np.random.RandomState(seed)
+    labels = np.zeros((n, 13), np.float32)
+    labels[np.arange(n), rng.randint(0, 13, n)] = 1.0
+    c3d = rng.rand(n, 1024, 7, 7).astype(np.float32) * 0.1
+    if learnable:
+        for i in range(n):
+            c = int(np.argmax(labels[i]))
+            c3d[i, c] += 1.0
+    return {
+        "c3d": c3d,
+        "frames": rng.rand(n, 98, 98, 3).astype(np.float32),
+        "gaze_pred": rng.rand(n, 49, 49).astype(np.float32),
+        "gaze_gt": rng.rand(n, 49, 49).astype(np.float32),
+        "labels": labels,
+    }
+
+
+def test_record_shard_roundtrip(tmp_path):
+    fields = _fake_records(8)
+    path = str(tmp_path / "shard0.npz")
+    write_record_shard(path, **fields)
+    back = read_record_shard(path)
+    for key in fields:
+        np.testing.assert_array_equal(fields[key], back[key])
+
+
+def test_iter_record_batches(tmp_path):
+    paths = []
+    for i in range(3):
+        fields = _fake_records(10, seed=i)
+        path = str(tmp_path / f"shard{i}.npz")
+        write_record_shard(path, **fields)
+        paths.append(path)
+    batches = list(iter_record_batches(paths, batch_size=8))
+    assert len(batches) == 3  # 30 frames -> 3 full batches of 8
+    for batch in batches:
+        assert batch["c3d"].shape == (8, 1024, 7, 7)
+        assert batch["labels"].shape == (8, 13)
+
+
+def test_clipset_labels(tmp_path):
+    d = str(tmp_path / "ClipSets")
+    os.makedirs(d)
+    with open(os.path.join(d, "AnswerPhone_train.txt"), "w") as f:
+        f.write("clip001 1\nclip002 -1\n")
+    with open(os.path.join(d, "Kiss_train.txt"), "w") as f:
+        f.write("clip001 1\nclip002 1\n")
+    labels = load_clipset_labels(d, "train")
+    assert labels["clip001"] == [0, 1]
+    assert labels["clip002"] == [1]
+    np.testing.assert_array_equal(multi_hot([0, 1])[:3], [1, 1, 0])
+
+
+@pytest.mark.parametrize("use_gazemap", [False, True])
+def test_nn_classifier_learns(use_gazemap):
+    hp = ActionHParams(batch_size=8, max_iter=60, use_gazemap=use_gazemap,
+                       learning_rate=0.003)
+    clf = ActionClassifier(hp)
+    data = _fake_records(64, learnable=True)
+
+    def batches():
+        for _ in range(hp.max_iter):
+            idx = np.random.RandomState(_).randint(0, 64, hp.batch_size)
+            yield {k: v[idx] for k, v in data.items()}
+
+    losses = clf.fit(batches())
+    assert losses[-1] < losses[0]
+    scores = clf.predict({k: v[:16] for k, v in data.items()})
+    result = evaluate(data["labels"][:16], scores)
+    assert result["mean_average_precision"] > 0.3  # well above 1/13 chance
+
+
+def test_svm_classifier_runs():
+    hp = ActionHParams(batch_size=8, max_iter=10, head="SVM")
+    clf = ActionClassifier(hp)
+    data = _fake_records(16)
+    losses = clf.fit([{k: v[:8] for k, v in data.items()}] * 10)
+    assert np.isfinite(losses).all()
+
+
+def test_evaluate_metrics_perfect_prediction():
+    y = np.zeros((4, 13), np.float32)
+    y[np.arange(4), [0, 3, 5, 7]] = 1.0
+    result = evaluate(y, y)
+    assert result["hamming_loss"] == 0.0
+    assert result["zero_one_loss"] == 0.0
+    assert result["mean_average_precision"] == 1.0
