@@ -73,6 +73,9 @@ class ModelConfig:
     # numerics
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
+    # fused Pallas recurrence kernel (TPU only; auto-falls back to lax.scan
+    # on other backends)
+    use_pallas: bool = True
 
 
 @dataclass

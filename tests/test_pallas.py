@@ -1,0 +1,50 @@
+"""Pallas ConvGRU kernel parity tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recurrent_gaze_prediction_tpu.ops.cells import ConvGRU
+from recurrent_gaze_prediction_tpu.ops.pallas.convgru import (
+    convgru_scan,
+    convgru_scan_pallas,
+)
+
+
+def test_pallas_convgru_matches_reference_scan():
+    rng = np.random.RandomState(0)
+    t, b, h, w, c, u = 5, 2, 7, 7, 12, 8
+    params = ConvGRU.init(jax.random.PRNGKey(0), c, u, stddev=0.3)
+    params = {k: jnp.array(rng.randn(*v.shape).astype(np.float32)) * 0.3
+              for k, v in params.items()}
+    xs = jnp.array(rng.randn(t, b, h, w, c).astype(np.float32))
+    h0 = ConvGRU.zero_state(b, (h, w), u)
+
+    ref_final, ref_ys = ConvGRU.scan(params, xs, h0)
+    pl_final, pl_ys = convgru_scan(params, xs, h0,
+                                   compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(pl_ys), np.asarray(ref_ys),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl_final), np.asarray(ref_final),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_precomputed_inputs():
+    """Kernel consumes precomputed Wx directly; state must thread through
+    all steps (step t depends on step t-1)."""
+    rng = np.random.RandomState(1)
+    t, b, h, w, u = 4, 1, 7, 7, 4
+    params = ConvGRU.init(jax.random.PRNGKey(1), 4, u, stddev=0.5)
+    wx = jnp.array(rng.randn(t, b, h, w, 3 * u).astype(np.float32))
+    h0 = jnp.zeros((b, h, w, u))
+
+    ys = convgru_scan_pallas(params, wx, h0, interpret=True)
+    assert ys.shape == (t, b, h, w, u)
+
+    # manual unroll using step_precomputed
+    fused = ConvGRU.fuse(params)
+    hh = h0
+    for i in range(t):
+        hh, _ = ConvGRU.step_precomputed(fused, hh, wx[i])
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(hh),
+                                   rtol=1e-4, atol=1e-5)
