@@ -40,9 +40,10 @@ def conv2d(x: jax.Array, kernel: jax.Array, *, stride: int | tuple[int, int] = 1
         _cast(x, compute_dtype), _cast(kernel, compute_dtype),
         window_strides=stride, padding=padding,
         dimension_numbers=_CONV_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
     )
-    return _cast(out, out_dtype)
+    return _cast(out, out_dtype if out_dtype is not None else jnp.float32)
 
 
 def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
@@ -61,9 +62,10 @@ def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
         _cast(x, compute_dtype), _cast(kernel, compute_dtype),
         strides=stride, padding=padding,
         dimension_numbers=_CONV_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
     )
-    return _cast(out, out_dtype)
+    return _cast(out, out_dtype if out_dtype is not None else jnp.float32)
 
 
 def conv3d(x: jax.Array, kernel: jax.Array, *,
@@ -79,9 +81,10 @@ def conv3d(x: jax.Array, kernel: jax.Array, *,
         _cast(x, compute_dtype), _cast(kernel, compute_dtype),
         window_strides=tuple(stride), padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
     )
-    return _cast(out, out_dtype)
+    return _cast(out, out_dtype if out_dtype is not None else jnp.float32)
 
 
 def max_pool2d(x: jax.Array, window: int | tuple[int, int],
