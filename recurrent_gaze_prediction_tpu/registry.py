@@ -99,5 +99,18 @@ def _register_all() -> None:
         gazemap_height=49, gazemap_width=49, n_lstm_steps=35, batch_size=5,
         loss_type="l2"))(gaze_framewise_shallownet.build)
 
+    # legacy prototypes with pupil heads (reference repo root,
+    # model_gru_rcn.py / model_2layer_gru.py)
+    from .models import gaze_legacy
+
+    register("gaze_pupil_grcn", dict(
+        gazemap_height=7, gazemap_width=7, n_lstm_steps=35, batch_size=7,
+        dim_cnn_proj=32, rnn_state_size=64,
+        loss_type="xentropy"))(gaze_legacy.build_grcn)
+    register("gaze_pupil_gru2", dict(
+        gazemap_height=7, gazemap_width=7, n_lstm_steps=35, batch_size=7,
+        dim_cnn_proj=32, rnn_state_size=128,
+        loss_type="xentropy"))(gaze_legacy.build_gru2)
+
 
 _register_all()

@@ -1,0 +1,89 @@
+"""Tests for visualization, profiler hooks, prefetch, writer, config."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+from recurrent_gaze_prediction_tpu.data import synthetic
+from recurrent_gaze_prediction_tpu.data.prefetch import prefetch_batches
+from recurrent_gaze_prediction_tpu.eval import visualize
+from recurrent_gaze_prediction_tpu.train.writer import MetricWriter
+
+
+def test_imshow_grid_shapes():
+    maps = np.random.RandomState(0).rand(10, 49, 49)
+    grid = visualize.imshow_grid(maps, ncols=4)
+    # 3 rows x 4 cols with 1px padding
+    assert grid.shape == (3 * 50 - 1, 4 * 50 - 1)
+    rgb = np.random.RandomState(1).rand(4, 20, 20, 3)
+    grid3 = visualize.imshow_grid(rgb, ncols=2)
+    assert grid3.shape == (2 * 21 - 1, 2 * 21 - 1, 3)
+
+
+def test_salicon_json_roundtrip(tmp_path):
+    maps = np.random.RandomState(2).rand(3, 49, 49)
+    path = str(tmp_path / "results.json")
+    visualize.save_salicon_json(path, [1, 2, 3], maps)
+    records = json.load(open(path))
+    assert [r["image_id"] for r in records] == [1, 2, 3]
+    decoded = visualize.decode_salicon_result(records[0])
+    assert decoded.shape == (49, 49)
+    # base64 PNG roundtrip preserves the normalized map up to 8-bit
+    expected = visualize._to_uint8(maps[0])
+    np.testing.assert_array_equal(decoded, expected)
+
+
+def test_prefetch_batches_device_resident():
+    data = synthetic.make_clip_windows(4, 3, seed=0)
+    batches = list(prefetch_batches(data, 2, max_batches=3))
+    assert len(batches) == 3
+    for batch in batches:
+        assert isinstance(batch["frames"], jax.Array)
+        assert batch["frames"].shape == (2, 3, 98, 98, 3)
+
+
+def test_metric_writer_jsonl(tmp_path):
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    w.scalars(1, {"loss": 0.5})
+    w(2, {"loss": 0.25})
+    w.close()
+    records = [json.loads(line)
+               for line in open(tmp_path / "metrics.jsonl")]
+    assert records[0]["loss"] == 0.5 and records[1]["step"] == 2
+
+
+def test_config_roundtrip(tmp_path):
+    exp = ExperimentConfig()
+    exp.model.batch_size = 28
+    exp.optimizer.initial_learning_rate = 1e-4
+    exp.dataset = "hollywood2"
+    path = str(tmp_path / "config.json")
+    exp.dump(path)
+    back = ExperimentConfig.load(path)
+    assert back.model.batch_size == 28
+    assert back.optimizer.initial_learning_rate == 1e-4
+    assert back.dataset == "hollywood2"
+
+
+def test_config_overrides_type_coercion():
+    exp = ExperimentConfig()
+    exp.apply_overrides({"model.batch_size": "16",
+                         "optimizer.initial_learning_rate": 0.01,
+                         "schedule.max_steps": None})
+    assert exp.model.batch_size == 16
+    assert exp.schedule.max_steps == 100000  # None skipped
+
+
+def test_profiler_hooks_run(tmp_path):
+    from recurrent_gaze_prediction_tpu.train import profiler
+
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    profiler.profile_steps(f, (jax.numpy.ones((8, 8)),), 2,
+                           str(tmp_path / "trace"))
+    assert os.path.isdir(tmp_path / "trace")

@@ -22,6 +22,7 @@ def _tiny_batch(gh, gw, seed=0):
         "c3d": jnp.array(rng.rand(B, T, 1024, 7, 7).astype(np.float32)),
         "gazemaps": jnp.array(
             rng.rand(B, T, gh, gw).astype(np.float32) + 0.01),
+        "pupils": jnp.array(rng.rand(B, T).astype(np.float32)),
     }
 
 
@@ -34,8 +35,39 @@ def _build(name):
 def test_registry_lists_all_reference_models():
     expected = {"gaze_rnn", "gaze_rnn77", "gaze_grcn", "gaze_grcn77",
                 "gaze_lstm", "gaze_grcn_cascade", "gaze_c3d_conv",
-                "gaze_framewise_shallownet"}
+                "gaze_framewise_shallownet",
+                "gaze_pupil_grcn", "gaze_pupil_gru2"}
     assert expected == set(ALL_MODELS)
+
+
+def test_shallownet_variants():
+    p7 = shallownet.init_params(jax.random.PRNGKey(0), variant="7x7")
+    out = shallownet.apply(p7, jnp.zeros((2, 98, 98, 3)))
+    assert out.shape == (2, 7, 7)
+    pbn = shallownet.init_params(jax.random.PRNGKey(1), batch_norm=True)
+    assert "bn1_scale" in pbn
+    out = shallownet.apply(pbn, jnp.ones((2, 98, 98, 3)))
+    assert out.shape == (2, 49, 49)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pupil_models_loss_includes_pupil_term():
+    for name in ("gaze_pupil_grcn", "gaze_pupil_gru2"):
+        model = registry.create_model(name, n_lstm_steps=T, batch_size=B,
+                                      compute_dtype="float32",
+                                      rnn_state_size=16)
+        params = model.init(jax.random.PRNGKey(0))
+        batch = _tiny_batch(7, 7)
+        batch["pupils"] = jnp.ones((B, T))
+        loss, aux = model.loss(params, batch, train=False)
+        assert np.isfinite(float(loss)), name
+        assert "pupil" in aux, name
+        assert aux["pupil"].shape == (B, T), name
+        # gradient flows through both heads
+        grads = jax.grad(lambda p: model.loss(p, batch, train=False)[0])(
+            params)
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads)), name
 
 
 @pytest.mark.parametrize("name", ALL_MODELS)
