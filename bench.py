@@ -1,8 +1,10 @@
-"""Benchmark: end-to-end gaze-saliency inference throughput on one chip.
+"""Benchmark: end-to-end C3D+GRCN saliency inference throughput on one chip.
 
-Measures frames/sec/chip for the flagship RGP model (gaze_grcn: C3D-feature
-projection -> ConvGRU -> deconv decoder -> 49x49 maps + per-frame softmax),
-bf16 compute. Baseline target (BASELINE.md): 2000 frames/sec/chip.
+The BASELINE.json headline metric: raw video frames/sec/chip through the
+FUSED pipeline — 16-frame C3D windows -> conv5b -> channel fold -> frame
+subsample/resize -> ConvGRU (Pallas kernel) -> deconv decoder -> 49x49
+probability maps — as one jitted XLA program. Baseline target: 2000
+frames/sec/chip (BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
@@ -21,38 +23,42 @@ BASELINE_FPS = 2000.0
 
 def main() -> None:
     from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
 
-    b, t = 16, 42  # reference T=42 windows
-    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=b,
-                                  compute_dtype="bfloat16")
-    params = model.init(jax.random.PRNGKey(0))
+    b, f = 4, 160  # 4 clips x 160 raw frames (10 C3D windows each)
+    t = pipeline.pipeline_timesteps(f)
+    gaze_model = registry.create_model("gaze_grcn", n_lstm_steps=t,
+                                       batch_size=b,
+                                       compute_dtype="bfloat16")
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = gaze_model.init(jax.random.PRNGKey(1))
 
     # Each call consumes a scalar produced by the previous call, so the
     # device must execute every iteration sequentially — async dispatch or
     # runtime-side caching cannot fake the timing.
     @jax.jit
-    def step(params, frames, c3d, eps):
-        out = model.predict(params, frames, c3d + eps)
+    def step(c3dp, gp, frames, eps):
+        out = pipeline.extract_and_predict(c3dp, gp, gaze_model,
+                                           frames + eps)
         return out.mean() * 1e-6
 
-    key = jax.random.PRNGKey(1)
-    frames = jax.random.uniform(key, (b, t, 98, 98, 3), jnp.float32)
-    c3d = jax.random.uniform(key, (b, t, 1024, 7, 7), jnp.float32)
+    frames = jax.random.uniform(jax.random.PRNGKey(2),
+                                (b, f, 128, 171, 3), jnp.float32) * 255.0
 
     eps = jnp.float32(0.0)
-    eps = step(params, frames, c3d, eps)  # compile + warmup
+    eps = step(c3d_params, gaze_params, frames, eps)  # compile + warmup
     float(eps)
 
-    n_iters = 30
+    n_iters = 20
     start = time.perf_counter()
     for _ in range(n_iters):
-        eps = step(params, frames, c3d, eps)
+        eps = step(c3d_params, gaze_params, frames, eps)
     assert float(eps) != 0.0  # the chain really ran
     elapsed = time.perf_counter() - start
 
-    frames_per_sec = b * t * n_iters / elapsed
+    frames_per_sec = b * f * n_iters / elapsed
     print(json.dumps({
-        "metric": "gaze_grcn_inference_frames_per_sec_per_chip",
+        "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
