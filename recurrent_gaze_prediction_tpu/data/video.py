@@ -1,0 +1,143 @@
+"""Video frame extraction for the C3D pipeline.
+
+Rebuild of the OpenCV stage in
+`/root/reference/.../extract_C3D_features.py:113-178,739-761`:
+
+  * decode a video into frames, resize to width 400 preserving aspect
+    (`extract_frames`, `:129-178`)
+  * dump frames as JPEGs in the reference's folder layout
+  * "attention" frames: frame * upsampled gazemap, the gaze-weighted input
+    variant for attention-conditioned C3D features (`add_attention`,
+    `:739-761`)
+
+Decoding is backend-gated: cv2 or imageio(+ffmpeg/pyav) when available;
+the container image used for CI has neither, so everything downstream is
+tested against frame arrays / JPEG folders directly, and
+`decode_video` raises a clear error listing the install options.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils import log, mkdir_p
+
+TARGET_WIDTH = 400  # extract_C3D_features.py:151
+
+
+def _decoder_backend():
+    try:
+        import cv2  # noqa: F401
+        return "cv2"
+    except ImportError:
+        pass
+    try:
+        import imageio
+
+        # probe for a video-capable plugin
+        if any(name in imageio.config.known_plugins
+               for name in ("FFMPEG", "pyav")):
+            return "imageio"
+    except ImportError:
+        pass
+    return None
+
+
+def decode_video(path: str) -> Iterator[np.ndarray]:
+    """Yield RGB uint8 frames from a video file."""
+    backend = _decoder_backend()
+    if backend == "cv2":
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame[:, :, ::-1]  # BGR -> RGB
+        finally:
+            cap.release()
+        return
+    if backend == "imageio":
+        import imageio
+
+        for frame in imageio.imiter(path):
+            yield np.asarray(frame)
+        return
+    raise RuntimeError(
+        "No video decode backend available. Install one of: opencv-python, "
+        "imageio[ffmpeg], imageio[pyav] — or extract frames offline and use "
+        "the JPEG-folder loaders.")
+
+
+def resize_to_width(frame: np.ndarray,
+                    target_width: int = TARGET_WIDTH) -> np.ndarray:
+    """Aspect-preserving resize to the reference's 400px extraction width."""
+    from PIL import Image
+
+    h, w = frame.shape[:2]
+    if w == target_width:
+        return frame
+    target_height = int(round(h * target_width / w))
+    img = Image.fromarray(frame).resize((target_width, target_height),
+                                        Image.BILINEAR)
+    return np.asarray(img)
+
+
+def extract_frames(video_path: str, out_dir: str,
+                   target_width: int = TARGET_WIDTH,
+                   max_frames: Optional[int] = None) -> int:
+    """Decode + resize + dump `%06d.jpg` frames; returns the frame count
+    (`extract_frames`, extract_C3D_features.py:129-178)."""
+    from PIL import Image
+
+    mkdir_p(out_dir)
+    count = 0
+    for i, frame in enumerate(decode_video(video_path)):
+        if max_frames is not None and i >= max_frames:
+            break
+        frame = resize_to_width(frame, target_width)
+        Image.fromarray(frame).save(os.path.join(out_dir, f"{i:06d}.jpg"))
+        count += 1
+    log.info("extracted %d frames from %s", count, video_path)
+    return count
+
+
+def apply_attention(frames: np.ndarray, gazemaps: np.ndarray) -> np.ndarray:
+    """Gaze-weighted frames: frame * gazemap upsampled to frame size
+    (`add_attention`, extract_C3D_features.py:739-761).
+
+    frames [N, H, W, 3] uint8/float; gazemaps [N, GH, GW] in [0, 1].
+    """
+    from PIL import Image
+
+    n, h, w = frames.shape[:3]
+    out = np.empty_like(frames)
+    for i in range(n):
+        gm = Image.fromarray((np.asarray(gazemaps[i]) * 255).astype(np.uint8))
+        gm = np.asarray(gm.resize((w, h), Image.BILINEAR),
+                        np.float32) / 255.0
+        out[i] = (frames[i].astype(np.float32) * gm[..., None]).astype(
+            frames.dtype)
+    return out
+
+
+def load_frame_folder(folder: str, image_hw: Optional[tuple[int, int]] = None
+                      ) -> np.ndarray:
+    """Read a dumped frame folder back into [N, H, W, 3] uint8."""
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(folder, f) for f in os.listdir(folder)
+        if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    frames = []
+    for path in files:
+        img = Image.open(path).convert("RGB")
+        if image_hw is not None and img.size != (image_hw[1], image_hw[0]):
+            img = img.resize((image_hw[1], image_hw[0]), Image.BILINEAR)
+        frames.append(np.asarray(img))
+    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)

@@ -1,0 +1,133 @@
+"""Streaming inference + video utilities + create_records CLI tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.data import video
+from recurrent_gaze_prediction_tpu.models import streaming
+
+
+def _grcn(t):
+    return registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=1,
+                                 compute_dtype="float32", rnn_state_size=8,
+                                 dim_cnn_proj=16)
+
+
+def test_streaming_matches_single_pass():
+    """Chunked inference with carried state == one long scan."""
+    t_total, chunk = 12, 4
+    model = _grcn(t_total)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = np.random.RandomState(0).rand(t_total, 1024, 7, 7).astype(
+        np.float32)
+
+    # single pass over the full sequence
+    full = np.asarray(model.apply(
+        params, np.zeros((1, t_total, 98, 98, 3), np.float32),
+        feats[None]))[0]
+
+    # streamed in chunks of 4
+    out_chunks = list(streaming.stream_video(params, feats, model.cfg,
+                                             chunk_len=chunk))
+    streamed = np.concatenate(out_chunks)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_tail_chunk_trimmed():
+    model = _grcn(4)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = np.random.RandomState(1).rand(10, 1024, 7, 7).astype(np.float32)
+    chunks = list(streaming.stream_video(params, feats, model.cfg,
+                                         chunk_len=4))
+    assert [len(c) for c in chunks] == [4, 4, 2]
+
+
+def test_streaming_context_carries_across_chunks():
+    """Zero-state restart (reference behavior) must differ from carried
+    state on the second chunk — proving context actually flows."""
+    model = _grcn(4)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = np.random.RandomState(2).rand(8, 1024, 7, 7).astype(np.float32)
+
+    carried = np.concatenate(list(
+        streaming.stream_video(params, feats, model.cfg, chunk_len=4)))
+    # reference-style: each window from zero state
+    step = streaming.make_stream_fn(model.cfg)
+    s0 = streaming.init_stream_state(1, model.cfg)
+    _, m1 = step(params, s0, feats[None, :4])
+    _, m2 = step(params, s0, feats[None, 4:])
+    restarted = np.concatenate([np.asarray(m1[0]), np.asarray(m2[0])])
+
+    np.testing.assert_allclose(carried[:4], restarted[:4], rtol=1e-4,
+                               atol=1e-5)
+    assert not np.allclose(carried[4:], restarted[4:])
+
+
+# ------------------------------------------------------------- video utils
+
+def test_resize_to_width():
+    frame = np.zeros((240, 320, 3), np.uint8)
+    out = video.resize_to_width(frame, 400)
+    assert out.shape == (300, 400, 3)
+
+
+def test_apply_attention_weights_frames():
+    frames = np.full((2, 98, 98, 3), 200, np.uint8)
+    gaze = np.zeros((2, 49, 49), np.float32)
+    gaze[:, 24, 24] = 1.0
+    out = video.apply_attention(frames, gaze)
+    assert out[0, 49, 49, 0] > out[0, 0, 0, 0]  # bright at gaze, dark away
+    assert out[0, 0, 0, 0] == 0
+
+
+def test_decode_video_raises_without_backend():
+    if video._decoder_backend() is None:
+        with pytest.raises(RuntimeError, match="video decode backend"):
+            list(video.decode_video("/nonexistent.avi"))
+
+
+def test_frame_folder_roundtrip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (50, 60, 3)).astype(
+            np.uint8)).save(tmp_path / f"{i:06d}.jpg")
+    frames = video.load_frame_folder(str(tmp_path))
+    assert frames.shape == (3, 50, 60, 3)
+    resized = video.load_frame_folder(str(tmp_path), image_hw=(98, 98))
+    assert resized.shape == (3, 98, 98, 3)
+
+
+# --------------------------------------------------------- create_records
+
+def test_create_records_cli(tmp_path):
+    from recurrent_gaze_prediction_tpu.cli import create_records, train_gaze
+
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn77", "--dataset", "synthetic",
+        "--max_steps", "2", "--n_lstm_steps", "4", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+    ])
+    assert rc == 0
+    out_dir = str(tmp_path / "records")
+    rc = create_records.main([
+        "--train_dir", train_dir, "--out_dir", out_dir,
+        "--split", "train", "--shard_size", "16",
+    ])
+    assert rc == 0
+    shards = sorted(os.listdir(out_dir))
+    assert shards, "no shards written"
+    from recurrent_gaze_prediction_tpu.action import read_record_shard
+
+    shard = read_record_shard(os.path.join(out_dir, shards[0]))
+    assert shard["c3d"].shape[1:] == (1024, 7, 7)
+    assert shard["gaze_pred"].shape[1:] == (7, 7)  # grcn77
+    assert shard["labels"].shape[1:] == (13,)
