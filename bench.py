@@ -25,7 +25,7 @@ def main() -> None:
     from recurrent_gaze_prediction_tpu import registry
     from recurrent_gaze_prediction_tpu.models import c3d, pipeline
 
-    b, f = 4, 160  # 4 clips x 160 raw frames (10 C3D windows each)
+    b, f = 8, 160  # 8 clips x 160 raw frames (10 C3D windows each)
     t = pipeline.pipeline_timesteps(f)
     gaze_model = registry.create_model("gaze_grcn", n_lstm_steps=t,
                                        batch_size=b,
