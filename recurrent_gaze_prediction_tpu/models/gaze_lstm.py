@@ -50,7 +50,14 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
                                     rng=r_proj, train=train, compute_dtype=cdt)
     xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))
     carry0 = ConvLSTM.zero_state(b, (7, 7), cfg.rnn_state_size)
-    _, ys = ConvLSTM.scan(params["cell"], xs, carry0, compute_dtype=cdt)
+
+    from ..ops import pallas as pallas_ops
+
+    if cfg.use_pallas and not train and pallas_ops.supported():
+        _, ys = pallas_ops.convlstm_scan(params["cell"], xs, carry0,
+                                         compute_dtype=cdt)
+    else:
+        _, ys = ConvLSTM.scan(params["cell"], xs, carry0, compute_dtype=cdt)
 
     folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(
         b * t, 7, 7, cfg.rnn_state_size)

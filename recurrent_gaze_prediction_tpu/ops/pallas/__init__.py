@@ -1,6 +1,7 @@
 import jax
 
 from .convgru import convgru_scan, convgru_scan_pallas
+from .convlstm import convlstm_scan, convlstm_scan_pallas
 
 
 def supported() -> bool:
@@ -12,4 +13,5 @@ def supported() -> bool:
     return platform in ("tpu", "axon")
 
 
-__all__ = ["convgru_scan", "convgru_scan_pallas", "supported"]
+__all__ = ["convgru_scan", "convgru_scan_pallas", "convlstm_scan",
+           "convlstm_scan_pallas", "supported"]

@@ -108,3 +108,34 @@ def shard_params(params: Any, mesh: Mesh,
                  model_parallel: Optional[bool] = None) -> Any:
     return jax.device_put(params,
                           params_shardings(params, mesh, model_parallel))
+
+
+# ------------------------------------------------------- multi-host input
+
+def host_local_slice(global_batch: int,
+                     process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> slice:
+    """The slice of a global batch this host should load (multi-host input
+    sharding, SURVEY.md section 7 step 7). Each host feeds its shard;
+    `jax.make_array_from_process_local_data` assembles the global array."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{pc} processes")
+    per_host = global_batch // pc
+    return slice(pi * per_host, (pi + 1) * per_host)
+
+
+def global_batch_from_host_local(batch: dict, mesh: Mesh) -> dict:
+    """Assemble host-local batch shards into global sharded arrays."""
+    sharding = NamedSharding(mesh, batch_spec())
+    out = {}
+    for key, value in batch.items():
+        if key == "clipnames":
+            continue
+        arr = np.asarray(value)
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        out[key] = jax.make_array_from_process_local_data(
+            sharding, arr, global_shape)
+    return out

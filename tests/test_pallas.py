@@ -4,11 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recurrent_gaze_prediction_tpu.ops.cells import ConvGRU
+from recurrent_gaze_prediction_tpu.ops.cells import ConvGRU, ConvLSTM
 from recurrent_gaze_prediction_tpu.ops.pallas.convgru import (
     convgru_scan,
     convgru_scan_pallas,
 )
+from recurrent_gaze_prediction_tpu.ops.pallas.convlstm import convlstm_scan
 
 
 def test_pallas_convgru_matches_reference_scan():
@@ -26,6 +27,25 @@ def test_pallas_convgru_matches_reference_scan():
     np.testing.assert_allclose(np.asarray(pl_ys), np.asarray(ref_ys),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pl_final), np.asarray(ref_final),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_convlstm_matches_reference_scan():
+    rng = np.random.RandomState(3)
+    t, b, h, w, c, u = 4, 2, 7, 7, 6, 4
+    params = ConvLSTM.init(jax.random.PRNGKey(2), c, u, (h, w))
+    params = {k: jnp.array(rng.randn(*v.shape).astype(np.float32)) * 0.2
+              for k, v in params.items()}
+    xs = jnp.array(rng.randn(t, b, h, w, c).astype(np.float32))
+    carry0 = ConvLSTM.zero_state(b, (h, w), u)
+
+    (_, ref_h), ref_ys = ConvLSTM.scan(params, xs, carry0)
+    (_, pl_h), pl_ys = convlstm_scan(params, xs, carry0,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(pl_ys), np.asarray(ref_ys),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pl_h), np.asarray(ref_h),
                                rtol=1e-4, atol=1e-5)
 
 
