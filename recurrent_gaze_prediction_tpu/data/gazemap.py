@@ -79,6 +79,22 @@ def fill_gazemap(gazemap: np.ndarray) -> np.ndarray:
     return gazemap
 
 
+def fill_missing_frames(gazemap: np.ndarray) -> np.ndarray:
+    """`add_missing_frame` equivalent (`add_gazemap.py:57-74`): back-fill a
+    zero FIRST frame from the earliest non-zero frame, then forward-fill
+    every later zero frame. Vectorized; raises if all frames are empty."""
+    sums = gazemap.reshape(len(gazemap), -1).sum(axis=1)
+    nonzero = np.nonzero(sums)[0]
+    if nonzero.size == 0:
+        raise ValueError("all frames are zero; user should have been deleted")
+    if sums[0] == 0:
+        gazemap[0] = gazemap[nonzero[0]]
+    for i in range(1, len(gazemap)):
+        if gazemap[i].sum() == 0:
+            gazemap[i] = gazemap[i - 1]
+    return gazemap
+
+
 def apply_gaussian_filter(gazemaps: np.ndarray, sigma: float) -> np.ndarray:
     """Per-frame 2-D Gaussian blur, each frame min-max normalized to [0, 1]
     afterwards; all-zero frames left untouched (`crc_input_data_seq.py:

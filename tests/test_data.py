@@ -92,6 +92,16 @@ def test_fill_gazemap_forward_fill():
     assert g[1, 1, 1] == 1.0 and g[2, 1, 1] == 1.0
 
 
+def test_fill_missing_frames_backfills_first():
+    g = np.zeros((4, 4, 4), np.float32)
+    g[2, 3, 3] = 1.0  # frames 0,1 empty; 2 has gaze; 3 empty
+    gazemap.fill_missing_frames(g)
+    assert g[0, 3, 3] == 1.0 and g[1, 3, 3] == 1.0 and g[3, 3, 3] == 1.0
+    assert g.sum() == 4  # one fixation per frame (add_gazemap.py:160-162)
+    with pytest.raises(ValueError):
+        gazemap.fill_missing_frames(np.zeros((3, 2, 2), np.float32))
+
+
 def test_seq2batch_chunking():
     data = np.arange(100).reshape(100, 1)
     wins = seq2batch(data, 42)
