@@ -161,6 +161,12 @@ def _convgru_bwd_pallas(uzr, uc, wx_tb, ys, h0, g, interpret: bool = False):
             jax.ShapeDtypeStruct((3, 3, units, units), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((b, h, w, units), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # the backward body carries ~8 [B,7,7,U..3U] fp32 temporaries
+            # plus double-buffered step blocks; the default 16M scoped vmem
+            # is too small at B=16, U=128
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(wx_tb, ys, hprev, uzr.astype(jnp.float32), uc.astype(jnp.float32),
       g)

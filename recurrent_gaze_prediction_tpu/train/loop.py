@@ -98,6 +98,18 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             log.infov(" [val   step %4d] loss: %.5f", step, vloss)
             if metric_writer:
                 metric_writer(step, {"loss/val": vloss})
+                # image summaries of the last timestep, like the reference's
+                # validation-step dumps (gaze_rnn.py:172-208, max_outputs=2)
+                if hasattr(metric_writer, "images"):
+                    preds = predict_fn(state.params, vbatch["frames"],
+                                       vbatch["c3d"])
+                    preds = np.asarray(preds)[:, -1]
+                    metric_writer.images(step, "inputimage",
+                                         np.asarray(vbatch["frames"])[:, -1])
+                    metric_writer.images(step, "saliency_maps_gt",
+                                         np.asarray(vbatch["gazemaps"])[:, -1])
+                    metric_writer.images(step, "saliency_maps_pred_norm",
+                                         preds)
 
         if data.valid is not None and len(data.valid) >= batch_size \
                 and step % sched_cfg.steps_per_evaluation == 0:
