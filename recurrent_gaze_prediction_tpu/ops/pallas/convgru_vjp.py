@@ -1,5 +1,11 @@
 """Custom VJP for the fused ConvGRU sequence: Pallas forward AND backward.
 
+NOTE: superseded by `convgru_vjp2.py`. This monolithic backward kernel is
+numerically correct but Mosaic compiles it for tens of minutes at
+production sizes (B=16, U=128) because the whole gate recompute + two
+transposed convs + two weight-grad contractions live in one kernel body.
+v2 keeps only the sequential dh recursion in Pallas; prefer it.
+
 Forward: `convgru.convgru_scan_pallas` (state in VMEM across the T grid).
 Backward: a second Pallas kernel walking the grid in REVERSE time order,
 carrying the hidden-state cotangent in VMEM and accumulating the U-kernel

@@ -82,6 +82,40 @@ def test_pallas_convgru_custom_vjp_grads_match_scan():
                                    rtol=1e-3, atol=1e-5, err_msg=k)
 
 
+def test_pallas_convgru_vjp_v2_grads_match_scan():
+    """Decomposed backward (XLA gate recompute + Pallas dh recursion +
+    XLA weight grads) must also match jax.grad of the scan."""
+    from recurrent_gaze_prediction_tpu.ops.pallas.convgru_vjp2 import (
+        convgru_scan_trainable_v2,
+    )
+
+    rng = np.random.RandomState(9)
+    t, b, h, w, cdim, u = 5, 2, 7, 7, 8, 4
+    params = ConvGRU.init(jax.random.PRNGKey(0), cdim, u, stddev=0.3)
+    params = {k: jnp.array(rng.randn(*v.shape).astype(np.float32)) * 0.3
+              for k, v in params.items()}
+    xs = jnp.array(rng.randn(t, b, h, w, cdim).astype(np.float32))
+    h0 = ConvGRU.zero_state(b, (h, w), u)
+    target = jnp.array(rng.randn(t, b, h, w, u).astype(np.float32))
+
+    def loss_scan(p):
+        _, ys = ConvGRU.scan(p, xs, h0)
+        return jnp.sum((ys - target) ** 2)
+
+    def loss_v2(p):
+        _, ys = convgru_scan_trainable_v2(p, xs, h0,
+                                          compute_dtype=jnp.float32,
+                                          interpret=True)
+        return jnp.sum((ys - target) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_scan)(params)
+    l2, g2 = jax.value_and_grad(loss_v2)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=k)
+
+
 def test_pallas_kernel_precomputed_inputs():
     """Kernel consumes precomputed Wx directly; state must thread through
     all steps (step t depends on step t-1)."""
