@@ -52,7 +52,15 @@ def _run_convgru(cell_params: dict, xs: jax.Array, h0: jax.Array,
                  cfg: ModelConfig, cdt, train: bool) -> jax.Array:
     """ConvGRU over time: fused Pallas kernel on TPU inference (10x the
     lax.scan recurrence at T=42); differentiable lax.scan for training and
-    non-TPU backends."""
+    non-TPU backends.
+
+    Training deliberately keeps the scan: the custom-VJP kernels
+    (ops/pallas/convgru_vjp2.py) beat the scan 4x when the recurrence grad
+    is measured in isolation (10.7 vs 43 ms at T=42, B=16), but inside the
+    full train step XLA fuses the scan's backward with the surrounding
+    projection/decoder gradients and wins overall (19.7 vs 23.7 ms/step) —
+    the custom call is a fusion barrier. Revisit if the recurrence grows.
+    """
     from ..ops import pallas as pallas_ops
 
     if cfg.use_pallas and not train and pallas_ops.supported():
