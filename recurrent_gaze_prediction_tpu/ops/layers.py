@@ -55,6 +55,12 @@ def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
     With VALID padding the output spatial size is (in-1)*stride + k, matching
     `tf.nn.conv2d_transpose(..., padding='VALID')` as used in the GRCN decoder
     (7->23 with k=5,s=3; 23->49 with k=5,s=2; `models/gaze_grcn.py:326-343`).
+
+    Parametrization note: lax.conv_transpose(transpose_kernel=False)
+    scatters the SPATIALLY FLIPPED kernel (verified in
+    tests/test_golden_network.py); TF scatters the unflipped kernel in
+    [h, w, out, in] layout. Equivalent families when training from
+    scratch — flip + transpose the last two axes to port TF checkpoints.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
