@@ -17,10 +17,9 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..config import ExperimentConfig
 from ..data import crc as crc_data
 from ..data import synthetic
-from ..eval import evaluator, metrics_np
+from ..eval import evaluator
 from ..registry import create_model
 from ..train import Checkpointer, create_train_state, make_predict_fn
 from ..utils import log, mkdir_p

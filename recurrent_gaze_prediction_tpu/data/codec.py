@@ -16,7 +16,6 @@ and the fallback when the native library is not built.
 
 from __future__ import annotations
 
-import os
 import pickle
 import struct
 from typing import Sequence

@@ -9,7 +9,7 @@ the time axis until they reach T. SEQ_LEN=42 ("omg hardcode",
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Union
 
 import numpy as np
 

@@ -20,7 +20,6 @@ feedback stays inside one `lax.scan`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ Temporal protocol (faithful to the reference's loader):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

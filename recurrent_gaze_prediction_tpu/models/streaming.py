@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..ops.cells import ConvGRU
 from .common import apply_c3d_projection, apply_decoder, compute_dtype_of
-from .gaze_grcn import _run_convgru
 
 
 def init_stream_state(batch: int, cfg: ModelConfig) -> jax.Array:

@@ -31,7 +31,6 @@ and a `scan` helper running the step over time-major inputs with
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..layers import conv2d
-from .convgru import _conv3x3_same, convgru_scan_pallas
+from .convgru import convgru_scan_pallas
 
 
 def _patches(x: jax.Array) -> jax.Array:

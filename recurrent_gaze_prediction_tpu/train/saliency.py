@@ -13,7 +13,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import OptimizerConfig

@@ -19,7 +19,6 @@ an explicit immutable `TrainState` pytree and a single donated, jitted step:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
