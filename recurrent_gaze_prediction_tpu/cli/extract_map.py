@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--reverse", action="store_true")
     parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--data_parallel", default=1, type=int,
+                        help="shard inference batches over this many "
+                             "devices (mesh data axis); replaces the "
+                             "reference's two-worker --reverse trick at "
+                             "pod scale")
     return parser
 
 
@@ -100,7 +105,19 @@ def main(argv: Optional[list[str]] = None) -> int:
         log.error("no checkpoint found under %s", args.train_dir)
         return 1
     state = restored
-    predict = make_predict_fn(model)
+    if args.data_parallel > 1:
+        import jax as _jax
+
+        from ..parallel import make_mesh, make_sharded_predict
+
+        mesh = make_mesh(data_parallel=args.data_parallel, model_parallel=1,
+                         devices=_jax.devices()[:args.data_parallel])
+        predict = make_sharded_predict(model, mesh)
+        if args.batch_size % args.data_parallel:
+            log.warn("batch_size %d not divisible by data_parallel %d",
+                     args.batch_size, args.data_parallel)
+    else:
+        predict = make_predict_fn(model)
 
     clips = sorted(
         c for c in os.listdir(args.clips_root)

@@ -1,6 +1,7 @@
 import jax
 
 from .convgru import convgru_scan, convgru_scan_pallas
+from .convgru_vjp2 import convgru_scan_trainable_v2
 from .convlstm import convlstm_scan, convlstm_scan_pallas
 
 
@@ -13,5 +14,6 @@ def supported() -> bool:
     return platform in ("tpu", "axon")
 
 
-__all__ = ["convgru_scan", "convgru_scan_pallas", "convlstm_scan",
+__all__ = ["convgru_scan", "convgru_scan_pallas",
+           "convgru_scan_trainable_v2", "convlstm_scan",
            "convlstm_scan_pallas", "supported"]
