@@ -113,6 +113,9 @@ def read_clip(layout: DatasetLayout, clip: str, image_height: int,
 
         pupil_list = [p[FRAME_OFFSET:gazelen:FRAME_STRIDE]
                       for p in pupil_list if p.shape[0] > gazelen - 1]
+        if not pupil_list:
+            log.warn("no pupil trace long enough for %s, skipping clip", clip)
+            return None
         pupils = np.mean(np.asarray(pupil_list), axis=0)
 
         gazemaps_list = [g[FRAME_OFFSET:gazelen:FRAME_STRIDE]
