@@ -1,0 +1,155 @@
+"""Checkpoint interop tests: TF checkpoint import + caffemodel parsing.
+
+TF is an optional heavy dependency; these tests build a real TF1-style
+checkpoint with the reference's variable names and verify the full forward
+matches after import.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.compat import (
+    c3d_params_from_caffemodel,
+    grcn_params_from_tf,
+    load_tf_variables,
+    parse_caffemodel,
+    shallownet_params_from_tf,
+    tf_deconv_kernel_to_jax,
+    write_caffemodel,
+)
+from recurrent_gaze_prediction_tpu.models import c3d as c3d_model
+from recurrent_gaze_prediction_tpu.models import shallownet
+from recurrent_gaze_prediction_tpu.ops.layers import conv2d_transpose
+
+
+def test_tf_deconv_kernel_conversion_matches_tf_op():
+    """transpose+flip mapping == tf.nn.conv2d_transpose numerics."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 7, 7, 5).astype(np.float32)
+    k_tf = rng.randn(5, 5, 3, 5).astype(np.float32)   # [h,w,out,in]
+    expected = tf.nn.conv2d_transpose(
+        x, k_tf, output_shape=[1, 23, 23, 3], strides=[1, 3, 3, 1],
+        padding="VALID").numpy()
+    ours = np.asarray(conv2d_transpose(
+        jnp.array(x), jnp.array(tf_deconv_kernel_to_jax(k_tf)),
+        stride=3, padding="VALID"))
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tf_checkpoint(tmp_path_factory):
+    """A checkpoint with the reference's ShallowNet + GRCN variable names."""
+    rng = np.random.RandomState(1)
+    tmp = tmp_path_factory.mktemp("tfckpt")
+
+    def v(name, shape):
+        return tf.Variable(rng.randn(*shape).astype(np.float32) * 0.1,
+                           name=name)
+
+    variables = [
+        v("ShallowNet/conv1/weights", (5, 5, 3, 32)),
+        v("ShallowNet/conv1/biases", (32,)),
+        v("ShallowNet/conv2/weights", (3, 3, 32, 64)),
+        v("ShallowNet/conv2/biases", (64,)),
+        v("ShallowNet/conv3/weights", (3, 3, 64, 32)),
+        v("ShallowNet/conv3/biases", (32,)),
+        v("ShallowNet/fc1/weights", (3872, 4802)),
+        v("ShallowNet/fc1/biases", (4802,)),
+        v("ShallowNet/fc2/weights", (2401, 4802)),
+        v("ShallowNet/fc2/biases", (4802,)),
+        # gaze_grcn (RGP scope)
+        v("RGP/proj_c3d_W", (1024, 512)),
+        v("RGP/proj_c3d_b", (512,)),
+        v("RGP/RCNBottom/GRU_Conv_Wz", (3, 3, 512, 128)),
+        v("RGP/RCNBottom/GRU_Conv_Uz", (3, 3, 128, 128)),
+        v("RGP/RCNBottom/GRU_Conv_Wr", (3, 3, 512, 128)),
+        v("RGP/RCNBottom/GRU_Conv_Ur", (3, 3, 128, 128)),
+        v("RGP/RCNBottom/GRU_Conv_W", (3, 3, 512, 128)),
+        v("RGP/RCNBottom/GRU_Conv_U", (3, 3, 128, 128)),
+        v("RGP/Upsampling/weight1", (5, 5, 64, 128)),   # [h,w,out,in]
+        v("RGP/Upsampling/weight2", (5, 5, 32, 64)),
+        v("RGP/Upsampling/weight3", (7, 7, 12, 32)),
+        v("RGP/out_W", (12, 1)),
+        v("RGP/out_b", (1,)),
+        v("RGP/batch_normalization/gamma", (128,)),
+        v("RGP/batch_normalization/beta", (128,)),
+        # slot vars that must be skipped
+        v("RGP/out_W/Adam", (12, 1)),
+        v("ShallowNet/conv1/weights/Adam_1", (5, 5, 3, 32)),
+    ]
+    ckpt = tf.train.Checkpoint(**{
+        f"v{i}": var for i, var in enumerate(variables)})
+    # use classic-style name-preserving saver via tf.compat.v1
+    path = str(tmp / "ref_model")
+    saver_vars = {var.name.split(":")[0]: var for var in variables}
+    tf.compat.v1.train.Saver(var_list=saver_vars).save(None, path)
+    return path
+
+
+def test_shallownet_import_forward_parity(tf_checkpoint):
+    variables = load_tf_variables(tf_checkpoint)
+    assert not any("Adam" in n for n in variables)
+    params = shallownet_params_from_tf(variables)
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    images = np.random.RandomState(2).rand(2, 98, 98, 3).astype(np.float32)
+    out = shallownet.apply(params, jnp.asarray(images))
+    assert out.shape == (2, 49, 49)
+    assert np.isfinite(np.asarray(out)).all()
+    # weights really came from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_w"]),
+        variables["ShallowNet/conv1/weights"])
+
+
+def test_grcn_import_runs(tf_checkpoint):
+    variables = load_tf_variables(tf_checkpoint)
+    params = grcn_params_from_tf(variables)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=2, batch_size=1,
+                                  compute_dtype="float32")
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    out = model.apply(jparams,
+                      jnp.zeros((1, 2, 98, 98, 3)),
+                      jnp.ones((1, 2, 1024, 7, 7)), train=False)
+    assert out.shape == (1, 2, 49, 49)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(
+        params["cell"]["W_z"], variables["RGP/RCNBottom/GRU_Conv_Wz"])
+    # deconv kernels converted (shape transposed to [h,w,in,out])
+    assert params["decoder"]["up1_w"].shape == (5, 5, 128, 64)
+
+
+def test_caffemodel_roundtrip_and_c3d_load(tmp_path):
+    rng = np.random.RandomState(3)
+    layers = {}
+    in_ch = 3
+    for name, out_ch in c3d_model.CONV_LAYERS:
+        layers[name] = [rng.randn(out_ch, in_ch, 3, 3, 3).astype(np.float32),
+                        rng.randn(1, 1, 1, 1, out_ch).astype(np.float32)]
+        in_ch = out_ch
+    for name, d_in, d_out in c3d_model.FC_LAYERS:
+        layers[f"{name}-1"] = [
+            rng.randn(d_out, d_in, 1, 1, 1).astype(np.float32),
+            rng.randn(1, 1, 1, 1, d_out).astype(np.float32)]
+
+    path = str(tmp_path / "sports1m.caffemodel")
+    write_caffemodel(path, layers)
+
+    parsed = parse_caffemodel(path)
+    assert set(parsed) == set(layers)
+    np.testing.assert_array_equal(parsed["conv1a"][0], layers["conv1a"][0])
+
+    params = c3d_params_from_caffemodel(path)
+    assert params["conv1a_w"].shape == (3, 3, 3, 3, 64)
+    assert params["fc6_w"].shape == (8192, 4096)
+    # run a forward with the ingested weights
+    feats = c3d_model.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                            jnp.zeros((1, 16, 112, 112, 3)),
+                            feature_layer="conv5b")
+    assert feats.shape == (1, 2, 7, 7, 512)
