@@ -145,6 +145,22 @@ def test_read_crc_data_sets_end_to_end(fake_root, tmp_path):
     np.testing.assert_array_equal(data.train.frames, data2.train.frames)
 
 
+def test_hollywood_official_split_threshold(monkeypatch):
+    """>1600 folders triggers the official 823-train/884-test split
+    (crc_input_data_seq.py:467-476)."""
+    from recurrent_gaze_prediction_tpu.data import crc as crc_mod
+
+    layout = crc_mod.DatasetLayout(root="/nonexistent")
+    names = ([f"actioncliptrain{i:05d}" for i in range(900)]
+             + [f"actioncliptest{i:05d}" for i in range(900)])
+    monkeypatch.setattr(crc_mod.DatasetLayout, "clip_folders",
+                        lambda self: list(names))
+    split = crc_mod.split_foldernames("hollywood2", layout)
+    assert len(split["train"]) == 823
+    assert len(split["valid"]) == 884 - 1
+    assert all("test" not in n for n in split["train"])
+
+
 def test_split_foldernames_hollywood_ordering(fake_root):
     layout = DatasetLayout(root=fake_root)
     split = split_foldernames("hollywood2", layout)
