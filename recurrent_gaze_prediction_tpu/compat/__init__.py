@@ -3,6 +3,10 @@ from .caffemodel import (
     parse_caffemodel,
     write_caffemodel,
 )
+from .tfrecord import (
+    read_reference_tfrecord,
+    write_reference_tfrecord,
+)
 from .tf_import import (
     grcn_params_from_tf,
     load_tf_variables,
@@ -18,4 +22,6 @@ __all__ = [
     "shallownet_params_from_tf",
     "grcn_params_from_tf",
     "tf_deconv_kernel_to_jax",
+    "read_reference_tfrecord",
+    "write_reference_tfrecord",
 ]

@@ -125,6 +125,76 @@ def test_grcn_import_runs(tf_checkpoint):
     assert params["decoder"]["up1_w"].shape == (5, 5, 128, 64)
 
 
+def _fake_examples(n=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return [{
+        "/input/frame": rng.rand(98, 98, 3).astype(np.float32),
+        "/input/c3d": rng.rand(1024, 7, 7).astype(np.float32),
+        "/input/gazemaps_gt": rng.rand(49, 49).astype(np.float32),
+        "/input/gazemaps_pred": rng.rand(49, 49).astype(np.float32),
+        "/label/label": (rng.rand(13) > 0.8).astype(np.uint8),
+    } for _ in range(n)]
+
+
+def test_tfrecord_roundtrip_pure_python(tmp_path):
+    from recurrent_gaze_prediction_tpu.compat import (
+        read_reference_tfrecord,
+        write_reference_tfrecord,
+    )
+
+    examples = _fake_examples()
+    path = str(tmp_path / "train.tfrecord")
+    write_reference_tfrecord(path, examples)
+    back = read_reference_tfrecord(path)
+    assert len(back) == 3
+    for orig, parsed in zip(examples, back):
+        for key in orig:
+            np.testing.assert_array_equal(orig[key], parsed[key], err_msg=key)
+
+
+def test_tfrecord_interop_with_real_tf(tmp_path):
+    """Our writer -> tf.data reader, and tf.io writer -> our reader."""
+    from recurrent_gaze_prediction_tpu.compat import (
+        read_reference_tfrecord,
+        write_reference_tfrecord,
+    )
+
+    examples = _fake_examples(2, seed=1)
+    ours = str(tmp_path / "ours.tfrecord")
+    write_reference_tfrecord(ours, examples)
+
+    # TF reads our file (CRCs must be valid)
+    ds = tf.data.TFRecordDataset([ours])
+    parsed = []
+    for record in ds:
+        feats = tf.io.parse_single_example(record, {
+            "/input/frame": tf.io.FixedLenFeature([], tf.string),
+            "/label/label": tf.io.FixedLenFeature([], tf.string),
+        })
+        frame = np.frombuffer(feats["/input/frame"].numpy(),
+                              np.float32).reshape(98, 98, 3)
+        label = np.frombuffer(feats["/label/label"].numpy(), np.uint8)
+        parsed.append((frame, label))
+    assert len(parsed) == 2
+    np.testing.assert_array_equal(parsed[0][0], examples[0]["/input/frame"])
+    np.testing.assert_array_equal(parsed[1][1], examples[1]["/label/label"])
+
+    # TF writes (reference-style) -> our reader parses
+    theirs = str(tmp_path / "theirs.tfrecord")
+    with tf.io.TFRecordWriter(theirs) as writer:
+        for ex in examples:
+            feature = {
+                key: tf.train.Feature(bytes_list=tf.train.BytesList(
+                    value=[np.ascontiguousarray(val).tobytes()]))
+                for key, val in ex.items()
+            }
+            writer.write(tf.train.Example(features=tf.train.Features(
+                feature=feature)).SerializeToString())
+    back = read_reference_tfrecord(theirs)
+    np.testing.assert_array_equal(back[0]["/input/c3d"],
+                                  examples[0]["/input/c3d"])
+
+
 def test_caffemodel_roundtrip_and_c3d_load(tmp_path):
     rng = np.random.RandomState(3)
     layers = {}
