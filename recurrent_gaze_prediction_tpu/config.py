@@ -85,8 +85,6 @@ class ShardingConfig:
     with batch ("data") as the primary parallel axis and an optional "model"
     axis for sharding the large ShallowNet FC / C3D projection weights."""
 
-    data_axis: str = "data"
-    model_axis: str = "model"
     data_parallel: int = -1   # -1 = all devices
     model_parallel: int = 1
 

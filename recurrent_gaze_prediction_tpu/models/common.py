@@ -163,7 +163,12 @@ class GazeModel:
     has_shallownet: bool = False
 
     def init(self, key: jax.Array) -> Params:
-        return self.init_fn(key)
+        params = self.init_fn(key)
+        if self.cfg.param_dtype != "float32":
+            from ..utils import cast_floating
+
+            params = cast_floating(params, jnp.dtype(self.cfg.param_dtype))
+        return params
 
     def apply(self, params: Params, frames: jax.Array, c3d: jax.Array, *,
               train: bool = False, rng: Optional[jax.Array] = None
