@@ -63,9 +63,28 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         else:
             log.warn(" [Checkpoint] none found (starting from scratch)")
 
+    # Preemption safety: a SIGTERM/SIGINT requests a checkpoint-and-exit at
+    # the next step boundary (the reference had no fault tolerance at all;
+    # SURVEY.md section 5 "failure detection ... none").
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        del frame
+        log.warn("signal %s received: checkpointing and stopping", signum)
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # non-main thread
+            pass
+
     n_train = max(len(data.train), 1)
     step = int(state.step)
-    while step < sched_cfg.max_steps:
+    while step < sched_cfg.max_steps and not stop_requested["flag"]:
         t0 = time.time()
         batch = _device_batch(data.train.next_batch(batch_size))
         state, metrics = train_step(state, batch, rng)
@@ -123,4 +142,6 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     if ckpt is not None:
         ckpt.save(state, wait=True)
         ckpt.close()
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     return state
