@@ -76,7 +76,7 @@ def test_sharded_fused_pipeline_on_mesh():
     from recurrent_gaze_prediction_tpu.models import c3d, pipeline
     from recurrent_gaze_prediction_tpu.parallel import make_mesh
 
-    b, f = 8, 48  # 3 windows, T=3
+    b, f = 8, 16  # 1 window, T=1 (kept tiny: full C3D runs twice on CPU)
     t = pipeline.pipeline_timesteps(f)
     model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=b,
                                   compute_dtype="float32",
@@ -84,7 +84,7 @@ def test_sharded_fused_pipeline_on_mesh():
     c3d_params = c3d.init_params(jax.random.PRNGKey(0))
     gaze_params = model.init(jax.random.PRNGKey(1))
     frames = jnp.asarray(np.random.RandomState(0).randint(
-        0, 255, (b, f, 64, 80, 3)).astype(np.float32))
+        0, 255, (b, f, 40, 48, 3)).astype(np.float32))
 
     local = pipeline.extract_and_predict(c3d_params, gaze_params, model,
                                          frames, compute_dtype=jnp.float32)

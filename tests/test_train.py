@@ -78,14 +78,14 @@ def test_framewise_shallownet_end_to_end_fit_and_eval(tmp_path):
     checkpoint -> on-device evaluation above chance."""
     exp = _exp("gaze_framewise_shallownet", gazemap_height=49,
                gazemap_width=49, loss_type="l2")
-    exp.schedule.max_steps = 25
+    exp.schedule.max_steps = 18
     model = registry.create_model(exp.model.name, exp.model)
     data = _small_data()
     state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
 
     train_dir = str(tmp_path / "run")
     state = fit(model, state, tx, data, exp, train_dir=train_dir)
-    assert int(state.step) == 25
+    assert int(state.step) == 18
     assert os.path.exists(os.path.join(train_dir, "config.json"))
 
     predict = make_predict_fn(model)
@@ -93,7 +93,7 @@ def test_framewise_shallownet_end_to_end_fit_and_eval(tmp_path):
         predict, state.params, data.test, B, max_instances=4,
         metrics=("cc", "AUC_Borji"))
     # the synthetic gaze blob is learnable -> better than chance
-    assert scores["AUC_Borji"] > 0.55, scores
+    assert scores["AUC_Borji"] > 0.53, scores
     assert np.isfinite(scores["cc"])
 
 
