@@ -40,8 +40,15 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         exp: ExperimentConfig, *,
         train_dir: Optional[str] = None,
         metric_writer: Optional[Callable[[int, dict], None]] = None,
-        max_eval_instances: int = 50) -> TrainState:
-    """Train until `exp.schedule.max_steps`. Returns the final state."""
+        max_eval_instances: int = 50,
+        train_iterator=None) -> TrainState:
+    """Train until `exp.schedule.max_steps`. Returns the final state.
+
+    `train_iterator` (optional) supplies training batches instead of
+    `data.train.next_batch` — e.g. a grain DataLoader iterator
+    (`data/grain_pipeline.make_dataloader`) or a device prefetcher
+    (`data/prefetch.prefetch_batches`).
+    """
     sched_cfg = exp.schedule
     batch_size = model.cfg.batch_size
     rng = jax.random.PRNGKey(exp.seed)
@@ -82,11 +89,19 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         except ValueError:  # non-main thread
             pass
 
-    n_train = max(len(data.train), 1)
+    n_train = max(len(data.train), 1) if data.train is not None else 1
     step = int(state.step)
     while step < sched_cfg.max_steps and not stop_requested["flag"]:
         t0 = time.time()
-        batch = _device_batch(data.train.next_batch(batch_size))
+        if train_iterator is not None:
+            raw = next(train_iterator, None)
+            if raw is None:
+                log.warn("train iterator exhausted at step %d", step)
+                break
+            batch = {k: jnp.asarray(v) for k, v in raw.items()
+                     if k != "clipnames"}
+        else:
+            batch = _device_batch(data.train.next_batch(batch_size))
         state, metrics = train_step(state, batch, rng)
         step = int(metrics["step"])
         t1 = time.time()

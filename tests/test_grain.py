@@ -44,6 +44,36 @@ def test_grain_loader_sharding():
         all0.size  # not identical
 
 
+def test_fit_with_grain_iterator(tmp_path):
+    """fit() driven by a grain DataLoader instead of next_batch."""
+    import jax
+
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.train import create_train_state, fit
+
+    exp = ExperimentConfig()
+    exp.model.n_lstm_steps = 3
+    exp.model.batch_size = 2
+    exp.model.compute_dtype = "float32"
+    exp.model.dim_cnn_proj = 8
+    exp.model.rnn_state_size = 4
+    exp.schedule.max_steps = 4
+    exp.schedule.steps_per_logprint = 100
+    exp.schedule.steps_per_checkpoint = 100
+    exp.schedule.steps_per_validation = 100
+    exp.schedule.steps_per_evaluation = 100
+    model = registry.create_model("gaze_grcn77", exp.model)
+    data = synthetic.make_splits(n_train=8, n_valid=0, n_test=0, t=3,
+                                 gazemap_hw=(7, 7))
+    state, tx = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+
+    loader = make_dataloader(data.train, batch_size=2, num_epochs=2)
+    state = fit(model, state, tx, data, exp,
+                train_iterator=iterate_batches(loader))
+    assert int(state.step) == 4
+
+
 def test_fit_checkpoints_on_sigterm(tmp_path):
     """A SIGTERM mid-training stops the loop cleanly with a checkpoint."""
     import jax
