@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_spec,
+    make_hybrid_mesh,
     make_mesh,
     mesh_from_config,
     params_shardings,
@@ -19,6 +20,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "make_hybrid_mesh",
     "mesh_from_config",
     "batch_spec",
     "shard_batch",

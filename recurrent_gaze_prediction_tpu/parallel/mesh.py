@@ -110,6 +110,36 @@ def shard_params(params: Any, mesh: Mesh,
                           params_shardings(params, mesh, model_parallel))
 
 
+def make_hybrid_mesh(dcn_data_parallel: int, ici_data_parallel: int = -1,
+                     model_parallel: int = 1) -> Mesh:
+    """Multi-slice mesh: data parallelism across slices rides DCN, data/
+    model parallelism within a slice rides ICI (the "collectives ride ICI,
+    not DCN" layout from the scaling-book recipe).
+
+    The mesh shape is (dcn_data * ici_data, model) with DCN as the
+    outermost (slowest-varying) factor of the data axis, so gradient
+    all-reduces decompose into intra-slice ICI reductions + one small
+    cross-slice DCN reduction. Falls back to a flat mesh when the runtime
+    exposes no slice topology (single-slice or CPU)."""
+    from jax.experimental import mesh_utils
+
+    devices = jax.devices()
+    if ici_data_parallel == -1:
+        ici_data_parallel = len(devices) // max(dcn_data_parallel, 1) \
+            // max(model_parallel, 1)
+    try:
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data_parallel, model_parallel),
+            dcn_mesh_shape=(dcn_data_parallel, 1),
+            devices=devices)
+    except Exception:  # single slice / no slice_index attributes
+        return make_mesh(dcn_data_parallel * ici_data_parallel,
+                         model_parallel, devices)
+    grid = grid.reshape(dcn_data_parallel * ici_data_parallel,
+                        model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 # ------------------------------------------------------- multi-host input
 
 def host_local_slice(global_batch: int,

@@ -109,3 +109,14 @@ def test_sharded_predict_matches_local():
                       jnp.asarray(batch["c3d"]))
     np.testing.assert_allclose(np.asarray(local), np.asarray(sharded),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_hybrid_mesh_fallback_shape():
+    """On single-slice/CPU topologies the hybrid mesh falls back to a flat
+    (data, model) mesh with DCN folded into the data axis."""
+    from recurrent_gaze_prediction_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(dcn_data_parallel=2, ici_data_parallel=2,
+                            model_parallel=2)
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[MODEL_AXIS] == 2
