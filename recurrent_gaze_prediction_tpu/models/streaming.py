@@ -30,13 +30,20 @@ def grcn_stream_step(params: dict, state: jax.Array, c3d_chunk: jax.Array,
                      cfg: ModelConfig) -> tuple[jax.Array, jax.Array]:
     """One chunk: ([B,7,7,U] state, [B,Tc,1024,7,7]) ->
     (new state, [B,Tc,49,49] maps). Jit with static chunk length."""
+    from ..ops import pallas as pallas_ops
+
     cdt = compute_dtype_of(cfg)
     b, tc = c3d_chunk.shape[:2]
     embedded = apply_c3d_projection(params["c3d_proj"], c3d_chunk,
                                     keep_prob=1.0, rng=None, train=False,
                                     compute_dtype=cdt)
     xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))
-    final_h, ys = ConvGRU.scan(params["cell"], xs, state, compute_dtype=cdt)
+    if cfg.use_pallas and pallas_ops.supported():
+        final_h, ys = pallas_ops.convgru_scan(params["cell"], xs, state,
+                                              compute_dtype=cdt)
+    else:
+        final_h, ys = ConvGRU.scan(params["cell"], xs, state,
+                                   compute_dtype=cdt)
 
     folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(
         b * tc, 7, 7, cfg.rnn_state_size)
