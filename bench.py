@@ -16,6 +16,12 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: the fused pipeline's cold compile through
+# the remote-compile relay can take minutes; cached runs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_FPS = 2000.0
