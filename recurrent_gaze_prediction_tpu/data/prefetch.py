@@ -19,12 +19,23 @@ import numpy as np
 from .datasets import ClipDataset
 
 
-def device_put_batch(batch: dict, sharding=None) -> dict:
+def device_put_batch(batch: dict, sharding=None,
+                     cast: Optional[dict] = None) -> dict:
+    """`cast` maps batch keys to dtypes applied HOST-side before transfer.
+
+    This matters on transfer-bound hosts: a [16, 16, 1024, 7, 7] fp32 C3D
+    batch is 822 MB per step; casting to bf16 on host halves the wire
+    bytes (measured: input transfer, not compute, dominates the train step
+    when feeding precomputed features — see BENCHMARKS.md). The models
+    cast to their compute dtype anyway.
+    """
     out = {}
     for key, value in batch.items():
         if key == "clipnames":
             continue
         arr = np.asarray(value)
+        if cast and key in cast:
+            arr = arr.astype(cast[key])
         out[key] = (jax.device_put(arr, sharding) if sharding is not None
                     else jax.device_put(arr))
     return out
@@ -32,6 +43,7 @@ def device_put_batch(batch: dict, sharding=None) -> dict:
 
 def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
                      sharding=None, buffer_size: int = 2,
+                     cast: Optional[dict] = None,
                      max_batches: Optional[int] = None) -> Iterator[dict]:
     """Yield device-resident batches, produced ahead of time by a worker
     thread. device_put is async, so the transfer of batch k+1 overlaps the
@@ -45,7 +57,7 @@ def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
             if max_batches is not None and produced >= max_batches:
                 break
             batch = dataset.next_batch(batch_size)
-            q.put(device_put_batch(batch, sharding))
+            q.put(device_put_batch(batch, sharding, cast=cast))
             produced += 1
         q.put(None)
 
