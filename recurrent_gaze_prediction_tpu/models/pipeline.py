@@ -37,7 +37,8 @@ def pipeline_timesteps(num_frames: int, window: int = 16,
 def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                         video_frames: jax.Array, *,
                         mean_cube: Optional[jax.Array] = None,
-                        compute_dtype=jnp.bfloat16) -> jax.Array:
+                        compute_dtype=jnp.bfloat16,
+                        logits: bool = False) -> jax.Array:
     """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
 
     F is static; T = pipeline_timesteps(F). Jit this (optionally with the
@@ -65,6 +66,8 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     sub = jax.image.resize(sub.astype(jnp.float32),
                            (b, t, 98, 98, 3), method="bilinear") / 255.0
 
+    if logits:
+        return gaze_model.apply(gaze_params, sub, feats, train=False)
     return gaze_model.predict(gaze_params, sub, feats)
 
 
@@ -80,3 +83,48 @@ def make_fused_predict(gaze_model: GazeModel, *, num_frames: int,
                                    compute_dtype=compute_dtype)
 
     return fn
+
+
+def make_fused_train_step(gaze_model: GazeModel, tx, *,
+                          finetune_c3d: bool = False,
+                          compute_dtype=jnp.bfloat16):
+    """End-to-end training FROM RAW VIDEO: the C3D extractor sits inside
+    the training graph, so the host ships uint8/float frames instead of
+    fp32 conv5b features (~12x less wire traffic — BENCHMARKS.md "input
+    transfer dominates"). The reference cannot do this at all: its C3D is
+    an offline C++ subprocess.
+
+    Returns jitted `step(gaze_params, opt_state, c3d_params, batch, rng)
+    -> (gaze_params, opt_state, metrics)`. batch: {"video": [B,F,H,W,3]
+    pixels 0..255, "gazemaps": [B,T,GH,GW]} with T =
+    pipeline_timesteps(F). C3D stays frozen unless finetune_c3d (frozen =
+    stop_gradient, matching the reference's frozen-feature-extractor
+    training regime).
+    """
+    import optax
+
+    from .common import sequence_loss
+    from ..ops.normalize import normalize_probability_map
+
+    def loss_fn(gaze_params, c3d_params, batch):
+        c3d_p = (c3d_params if finetune_c3d
+                 else jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                             c3d_params))
+        logits = extract_and_predict(c3d_p, gaze_params, gaze_model,
+                                     batch["video"],
+                                     compute_dtype=compute_dtype,
+                                     logits=True)
+        gt = batch["gazemaps"]
+        if gaze_model.cfg.loss_type in ("xentropy", "kld"):
+            gt = normalize_probability_map(gt)
+        return sequence_loss(logits, gt, gaze_model.cfg.loss_type)
+
+    def step(gaze_params, opt_state, c3d_params, batch, rng):
+        del rng  # raw-video path has no dropout (inference-mode extract)
+        loss, grads = jax.value_and_grad(loss_fn)(gaze_params, c3d_params,
+                                                  batch)
+        updates, opt_state = tx.update(grads, opt_state, gaze_params)
+        gaze_params = optax.apply_updates(gaze_params, updates)
+        return gaze_params, opt_state, {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0, 1))

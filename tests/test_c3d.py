@@ -93,6 +93,44 @@ def test_c3d_file_roundtrip_and_model_load(tmp_path):
         model_feats, np.squeeze(arr).reshape(4, 1024, 7, 7))
 
 
+def test_fused_train_step_from_raw_video():
+    """End-to-end training from raw video: loss decreases, gaze params
+    move, C3D params stay frozen (stop_gradient)."""
+    import optax
+
+    f = 32  # 2 windows -> T=2
+    t = pipeline.pipeline_timesteps(f)
+    gaze_model = registry.create_model("gaze_grcn", n_lstm_steps=t,
+                                      batch_size=2, compute_dtype="float32",
+                                      rnn_state_size=8, dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = gaze_model.init(jax.random.PRNGKey(1))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(gaze_params)
+    step = pipeline.make_fused_train_step(gaze_model, tx,
+                                          compute_dtype=jnp.float32)
+
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "video": jnp.asarray(rng0.randint(0, 255, (2, f, 64, 80, 3))
+                             .astype(np.float32)),
+        "gazemaps": jnp.asarray(rng0.rand(2, t, 49, 49).astype(np.float32)
+                                + 0.01),
+    }
+    before = jax.tree_util.tree_map(np.asarray, gaze_params)
+    losses = []
+    for _ in range(3):
+        gaze_params, opt_state, metrics = step(gaze_params, opt_state,
+                                               c3d_params, batch, None)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    # gaze params moved
+    moved = any(not np.allclose(a, np.asarray(b)) for a, b in zip(
+        jax.tree_util.tree_leaves(before),
+        jax.tree_util.tree_leaves(gaze_params)))
+    assert moved
+
+
 def test_fused_pipeline_end_to_end():
     """Raw frames -> C3D -> gaze_grcn, one jitted program."""
     t_frames = 32  # 2 windows; [15::5] gives frames 15,20,25,30 -> T=2
