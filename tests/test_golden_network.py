@@ -134,6 +134,40 @@ def test_gaze_grcn_full_forward_golden():
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
 
 
+def test_gaze_c3d_conv_full_forward_golden():
+    """Non-recurrent ablation: projection -> 3 deconvs (no BN) -> head."""
+    b, t = 2, 2
+    model = registry.create_model("gaze_c3d_conv", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32",
+                                  dim_cnn_proj=16)
+    rng = np.random.RandomState(4)
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.2),
+        params)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)
+
+    got = np.asarray(model.apply(params, jnp.asarray(frames),
+                                 jnp.asarray(c3d), train=False))
+
+    p = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), params)
+    x = np.transpose(c3d.astype(np.float64), (0, 1, 3, 4, 2))
+    emb = x @ p["c3d_proj"]["proj_c3d_W"] + p["c3d_proj"]["proj_c3d_b"]
+    dp = p["decoder"]
+    assert "bn_scale" not in dp  # no batch norm in this ablation
+    maps = []
+    for step in range(t):
+        y = emb[:, step]
+        y = _np_deconv(y, dp["up1_w"], 3, "VALID")
+        y = _np_deconv(y, dp["up2_w"], 2, "VALID")
+        y = _np_deconv(y, dp["up3_w"], 1, "SAME")
+        y = y.reshape(-1, 12) @ dp["out_W"] + dp["out_b"]
+        maps.append(y.reshape(b, 49, 49))
+    expected = np.stack(maps, axis=1)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
 def test_shallownet_full_forward_golden():
     """conv/pool chain + fc + maxout head vs pure NumPy."""
     params = shallownet.init_params(jax.random.PRNGKey(3))

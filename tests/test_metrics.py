@@ -123,6 +123,26 @@ def test_evaluate_batch_full_metric_set():
         assert np.isfinite(np.asarray(vals)).all(), name
 
 
+def test_numpy_protocol_original_scale_resize():
+    """The offline protocol resizes pred/gt (49x49) to the fixation map's
+    original scale before scoring (evaluation_metrics.py:239-272)."""
+    from recurrent_gaze_prediction_tpu.eval import evaluator
+
+    rng = np.random.RandomState(11)
+    n = 12
+    preds = rng.rand(n, 49, 49).astype(np.float32)
+    gts = rng.rand(n, 49, 49).astype(np.float32) + 0.05
+    # original-scale sparse fixation maps (72 x 96, bigger than the maps)
+    fixs = np.zeros((n, 72, 96), np.float32)
+    for i in range(n):
+        fixs[i, rng.randint(0, 72, 6), rng.randint(0, 96, 6)] = 1.0
+    scores = evaluator.evaluate(preds, gts, fixs,
+                                metrics=("cc", "AUC_Borji"),
+                                on_device=False)
+    assert np.isfinite(scores["cc"])
+    assert 0.0 <= scores["AUC_Borji"] <= 1.0
+
+
 def test_numpy_saliency_score_aggregate():
     """Reference-style aggregate API works end to end."""
     pred, gt, fix = _random_frames(n=12, seed=9)
