@@ -57,6 +57,34 @@ def make_stream_fn(cfg: ModelConfig):
     return jax.jit(lambda p, s, c: grcn_stream_step(p, s, c, cfg))
 
 
+# ------------------------------------------------------------ ConvLSTM
+
+def init_lstm_stream_state(batch: int, cfg: ModelConfig):
+    from ..ops.cells import ConvLSTM
+
+    return ConvLSTM.zero_state(batch, (7, 7), cfg.rnn_state_size)
+
+
+def lstm_stream_step(params: dict, state, c3d_chunk: jax.Array,
+                     cfg: ModelConfig):
+    """gaze_lstm chunked step with carried (c, h) cell state."""
+    from ..ops.cells import ConvLSTM
+
+    cdt = compute_dtype_of(cfg)
+    b, tc = c3d_chunk.shape[:2]
+    embedded = apply_c3d_projection(params["c3d_proj"], c3d_chunk,
+                                    keep_prob=1.0, rng=None, train=False,
+                                    compute_dtype=cdt)
+    xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))
+    carry, ys = ConvLSTM.scan(params["cell"], xs, state, compute_dtype=cdt)
+
+    folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(
+        b * tc, 7, 7, cfg.rnn_state_size)
+    maps = apply_decoder(params["decoder"], folded, keep_prob=1.0, rng=None,
+                         train=False, compute_dtype=cdt)
+    return carry, maps.reshape(b, tc, 49, 49)
+
+
 def stream_video(params: dict, c3d_features, cfg: ModelConfig,
                  chunk_len: int = 42,
                  state: Optional[jax.Array] = None) -> Iterator:

@@ -109,12 +109,17 @@ class ConvGRU:
 
     @staticmethod
     def scan(params: dict, x_tbhwc: jax.Array, h0: jax.Array,
-             compute_dtype=None) -> tuple[jax.Array, jax.Array]:
+             compute_dtype=None, remat: bool = False
+             ) -> tuple[jax.Array, jax.Array]:
         """Run over time-major inputs [T, B, H, W, C] -> outputs [T, B, H, W, U].
 
         The input-side conv (the expensive one — dim_feature up to 512
         channels) is hoisted out of the scan and computed for all T frames
         as ONE batched conv; only the state convs stay sequential.
+
+        `remat=True` rematerializes each step in the backward pass
+        (jax.checkpoint), trading ~1 extra step-forward of FLOPs for not
+        storing per-step gate activations — the memory lever for long T.
         """
         fused = ConvGRU.fuse(params)
         t, b = x_tbhwc.shape[:2]
@@ -127,6 +132,8 @@ class ConvGRU:
             return ConvGRU.step_precomputed(fused, h, wx,
                                             compute_dtype=compute_dtype)
 
+        if remat:
+            body = jax.checkpoint(body)
         final_h, ys = jax.lax.scan(body, h0, wx_all)
         return final_h, ys
 

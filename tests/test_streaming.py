@@ -131,3 +131,45 @@ def test_create_records_cli(tmp_path):
     assert shard["c3d"].shape[1:] == (1024, 7, 7)
     assert shard["gaze_pred"].shape[1:] == (7, 7)  # grcn77
     assert shard["labels"].shape[1:] == (13,)
+
+
+def test_lstm_streaming_matches_single_pass():
+    model = registry.create_model("gaze_lstm", n_lstm_steps=8, batch_size=1,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = np.random.RandomState(3).rand(1, 8, 1024, 7, 7).astype(np.float32)
+    full = np.asarray(model.apply(
+        params, np.zeros((1, 8, 98, 98, 3), np.float32), feats))[0]
+
+    state = streaming.init_lstm_stream_state(1, model.cfg)
+    chunks = []
+    for start in (0, 4):
+        state, maps = streaming.lstm_stream_step(
+            params, state, feats[:, start:start + 4], model.cfg)
+        chunks.append(np.asarray(maps[0]))
+    streamed = np.concatenate(chunks)
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+def test_convgru_scan_remat_grads_match():
+    """jax.checkpoint'd scan: same values, same gradients."""
+    import jax.numpy as jnp
+    from recurrent_gaze_prediction_tpu.ops.cells import ConvGRU
+
+    rng = np.random.RandomState(4)
+    params = ConvGRU.init(jax.random.PRNGKey(0), 6, 4, stddev=0.3)
+    xs = jnp.asarray(rng.randn(5, 2, 7, 7, 6).astype(np.float32))
+    h0 = ConvGRU.zero_state(2, (7, 7), 4)
+    tgt = jnp.asarray(rng.randn(5, 2, 7, 7, 4).astype(np.float32))
+
+    def loss(p, remat):
+        _, ys = ConvGRU.scan(p, xs, h0, remat=remat)
+        return jnp.sum((ys - tgt) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
