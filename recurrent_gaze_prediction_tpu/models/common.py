@@ -125,7 +125,8 @@ def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
 # ------------------------------------------------------------------ losses
 
 def sequence_loss(logits: jax.Array, gt_gazemap: jax.Array,
-                  loss_type: str) -> jax.Array:
+                  loss_type: str,
+                  frame_mask: Optional[jax.Array] = None) -> jax.Array:
     """Per-frame loss summed over time, averaged by B*T
     (`models/gaze_rnn.py:363-408`).
 
@@ -133,18 +134,32 @@ def sequence_loss(logits: jax.Array, gt_gazemap: jax.Array,
     xentropy: softmax cross-entropy over the flattened H*W grid
     kld:      KL(gt || softmax(pred)) — the reference's KLD branch is broken
               (`gaze_rnn.py:395-399`); this implements the intended loss.
+
+    `frame_mask` [B, T] (1 = real frame, 0 = padding) excludes padded
+    frames from the loss and normalizes by the VALID frame count. The
+    reference silently trains/scores padded frames (SURVEY.md section 7
+    "variable-length clips"); omit the mask for that compat behavior.
     """
     b, t = logits.shape[:2]
+    if frame_mask is None:
+        denom = float(b * t)
+        weight = None
+    else:
+        weight = frame_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(weight), 1.0)
+
     if loss_type == "l2":
-        return 0.5 * jnp.sum(jnp.square(logits - gt_gazemap)) / (b * t)
-    if loss_type == "xentropy":
-        xent = softmax_cross_entropy_2d(logits, gt_gazemap)  # [B, T]
-        return jnp.sum(xent) / (b * t)
-    if loss_type == "kld":
-        probs = softmax_2d(logits)
-        kl = kl_divergence_2d(probs, gt_gazemap)
-        return jnp.sum(kl) / (b * t)
-    raise NotImplementedError(loss_type)
+        sq = 0.5 * jnp.sum(jnp.square(logits - gt_gazemap), axis=(-2, -1))
+        per_frame = sq  # [B, T]
+    elif loss_type == "xentropy":
+        per_frame = softmax_cross_entropy_2d(logits, gt_gazemap)  # [B, T]
+    elif loss_type == "kld":
+        per_frame = kl_divergence_2d(softmax_2d(logits), gt_gazemap)
+    else:
+        raise NotImplementedError(loss_type)
+    if weight is not None:
+        per_frame = per_frame * weight
+    return jnp.sum(per_frame) / denom
 
 
 # ----------------------------------------------------------------- harness
@@ -182,7 +197,8 @@ class GazeModel:
         gt = batch["gazemaps"]
         if self.cfg.loss_type in ("xentropy", "kld"):
             gt = normalize_probability_map(gt)  # gaze_rnn.py:499-500
-        loss = sequence_loss(logits, gt, self.cfg.loss_type)
+        loss = sequence_loss(logits, gt, self.cfg.loss_type,
+                             frame_mask=batch.get("frame_mask"))
         return loss, {"logits": logits}
 
     def predict(self, params: Params, frames: jax.Array,

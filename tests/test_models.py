@@ -147,3 +147,28 @@ def test_grcn_jit_forward():
     out2 = model.apply(params, batch["frames"], batch["c3d"], train=False)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_sequence_loss_frame_mask_excludes_padding():
+    """Masked loss ignores padded frames and normalizes by valid count."""
+    from recurrent_gaze_prediction_tpu.models.common import sequence_loss
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 7, 7).astype(np.float32))
+    gt = jnp.asarray(rng.rand(2, 4, 7, 7).astype(np.float32))
+    gt = gt / gt.sum(axis=(-2, -1), keepdims=True)
+
+    # corrupt the last frame of each clip; mask should make it irrelevant
+    bad = logits.at[:, -1].set(1e3)
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 0]], np.float32)
+    for lt in ("l2", "xentropy", "kld"):
+        masked_clean = float(sequence_loss(logits, gt, lt, frame_mask=mask))
+        masked_bad = float(sequence_loss(bad, gt, lt, frame_mask=mask))
+        np.testing.assert_allclose(masked_clean, masked_bad, rtol=1e-6)
+        # unmasked differs (padded frames contribute, like the reference)
+        assert float(sequence_loss(bad, gt, lt)) != pytest.approx(
+            float(sequence_loss(logits, gt, lt)))
+    # masked loss == unmasked loss over only the valid prefix
+    np.testing.assert_allclose(
+        float(sequence_loss(logits, gt, "l2", frame_mask=mask)),
+        float(sequence_loss(logits[:, :3], gt[:, :3], "l2")), rtol=1e-6)
