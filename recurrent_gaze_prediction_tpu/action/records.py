@@ -13,6 +13,11 @@ the same per-frame fields and fixed shapes:
 
 plus a Hollywood2 `ClipSets` label parser
 (`models/create_tfrecords.py:58-101`).
+
+For interop with the reference's ORIGINAL TFRecord files, see
+`compat/tfrecord.py` (pure-Python reader/writer of that exact container,
+verified bidirectionally against tf.io); this module is the framework's
+native, faster storage format.
 """
 
 from __future__ import annotations
