@@ -43,9 +43,10 @@ def read_binary_blob(filename: str) -> np.ndarray:
             raise IOError(f"truncated blob header in {filename}")
         shape = _HEADER.unpack(header)
         count = int(np.prod(shape))
-        data = np.frombuffer(f.read(count * 4), dtype="<f4", count=count)
-        if data.size != count:
+        raw = f.read(count * 4)
+        if len(raw) != count * 4:
             raise IOError(f"truncated blob payload in {filename}")
+        data = np.frombuffer(raw, dtype="<f4", count=count)
     return data.reshape(shape).astype(np.float32)
 
 

@@ -240,24 +240,12 @@ def build_other_map_union(fixations: jax.Array, key: jax.Array,
     return (fixations[idx] > 0).sum(axis=0)
 
 
-def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
-                   key: jax.Array,
-                   metrics: Sequence[str] = AVAILABLE_METRICS,
-                   other_map: Optional[jax.Array] = None,
-                   max_fix: int = 64, n_rep: int = 100) -> dict:
-    """Compute per-frame scores for each metric; returns {metric: [N]}.
-
-    Predictions are min-max normalized first, matching
-    `evaluation_metrics.py:245`. All maps must share the same [N, H, W]
-    shape (the on-device protocol evaluates at gazemap scale; the
-    original-scale path lives in the NumPy evaluator).
-    """
-    keys = jax.random.split(key, 4)
-    pred = pred.reshape(pred.shape[0], *pred.shape[-2:])
+def _evaluate_batch_impl(pred: jax.Array, gt: jax.Array,
+                         fixation: jax.Array, other_map: jax.Array,
+                         key: jax.Array, metrics: tuple,
+                         max_fix: int, n_rep: int) -> dict:
+    keys = jax.random.split(key, 3)
     norm_pred = _normalize_range(_flatten(pred)).reshape(pred.shape)
-    if other_map is None and "AUC_shuffled" in metrics:
-        other_map = build_other_map_union(fixation, keys[0])
-
     out = {}
     for metric in metrics:
         if metric == "cc":
@@ -269,15 +257,43 @@ def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
         elif metric == "kld":
             out[metric] = kld_batch(norm_pred, gt)
         elif metric == "AUC_Judd":
-            out[metric] = auc_judd_batch(norm_pred, fixation, keys[1],
+            out[metric] = auc_judd_batch(norm_pred, fixation, keys[0],
                                          max_fix=max_fix)
         elif metric == "AUC_Borji":
-            out[metric] = auc_borji_batch(norm_pred, fixation, keys[2],
+            out[metric] = auc_borji_batch(norm_pred, fixation, keys[1],
                                           max_fix=max_fix, n_rep=n_rep)
         elif metric == "AUC_shuffled":
             out[metric] = auc_shuffled_batch(norm_pred, fixation, other_map,
-                                             keys[3], max_fix=max_fix,
+                                             keys[2], max_fix=max_fix,
                                              n_rep=n_rep)
         else:
             raise ValueError(f"unknown metric: {metric}")
     return out
+
+
+_evaluate_batch_jit = jax.jit(
+    _evaluate_batch_impl, static_argnames=("metrics", "max_fix", "n_rep"))
+
+
+def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
+                   key: jax.Array,
+                   metrics: Sequence[str] = AVAILABLE_METRICS,
+                   other_map: Optional[jax.Array] = None,
+                   max_fix: int = 64, n_rep: int = 100) -> dict:
+    """Compute per-frame scores for each metric; returns {metric: [N]}.
+
+    Predictions are min-max normalized first, matching
+    `evaluation_metrics.py:245`. All maps must share the same [N, H, W]
+    shape (the on-device protocol evaluates at gazemap scale; the
+    original-scale path lives in the NumPy evaluator). The whole requested
+    metric set runs as ONE jitted XLA program.
+    """
+    key, k_other = jax.random.split(key)
+    pred = pred.reshape(pred.shape[0], *pred.shape[-2:])
+    if other_map is None:
+        if "AUC_shuffled" in metrics:
+            other_map = build_other_map_union(fixation, k_other)
+        else:
+            other_map = jnp.zeros(fixation.shape[-2:], fixation.dtype)
+    return _evaluate_batch_jit(pred, gt, fixation, other_map, key,
+                               tuple(metrics), max_fix, n_rep)

@@ -148,3 +148,20 @@ def test_fused_pipeline_end_to_end():
                                        frames, compute_dtype=jnp.float32)
     assert out.shape == (1, t, 49, 49)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blob_codec_rejects_corrupt_files(tmp_path):
+    short = str(tmp_path / "short.blob")
+    with open(short, "wb") as f:
+        f.write(b"\x01\x00")
+    with pytest.raises(IOError):
+        codec.read_binary_blob(short)
+
+    truncated = str(tmp_path / "trunc.blob")
+    codec.write_binary_blob(truncated,
+                            np.zeros((1, 2, 2, 2, 2), np.float32))
+    data = open(truncated, "rb").read()
+    with open(truncated, "wb") as f:
+        f.write(data[:-8])  # chop payload
+    with pytest.raises(IOError):
+        codec.read_binary_blob(truncated)

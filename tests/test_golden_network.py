@@ -134,6 +134,57 @@ def test_gaze_grcn_full_forward_golden():
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
 
 
+def test_gaze_lstm_full_forward_golden():
+    """projection -> peephole ConvLSTM x T -> frozen BN -> decoder."""
+    b, t = 2, 3
+    model = registry.create_model("gaze_lstm", n_lstm_steps=t, batch_size=b,
+                                  compute_dtype="float32",
+                                  dim_cnn_proj=12, rnn_state_size=6)
+    rng = np.random.RandomState(8)
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.randn(*x.shape).astype(np.float32) * 0.2),
+        params)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)
+
+    got = np.asarray(model.apply(params, jnp.asarray(frames),
+                                 jnp.asarray(c3d), train=False))
+
+    p = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), params)
+    x = np.transpose(c3d.astype(np.float64), (0, 1, 3, 4, 2))
+    emb = x @ p["c3d_proj"]["proj_c3d_W"] + p["c3d_proj"]["proj_c3d_b"]
+
+    cp = p["cell"]
+    c = np.zeros((b, 7, 7, 6))
+    h = np.zeros((b, 7, 7, 6))
+    hs = []
+    for step in range(t):
+        xt = emb[:, step]
+        i = _sigmoid(_np_conv_same(xt, cp["W_xi"])
+                     + _np_conv_same(h, cp["W_hi"]) + cp["W_ci"] * c)
+        f = _sigmoid(_np_conv_same(xt, cp["W_xf"])
+                     + _np_conv_same(h, cp["W_hf"]) + cp["W_cf"] * c)
+        new_c = f * c + i * np.tanh(_np_conv_same(xt, cp["W_xc"])
+                                    + _np_conv_same(h, cp["W_hc"]))
+        o = _sigmoid(_np_conv_same(xt, cp["W_xo"])
+                     + _np_conv_same(h, cp["W_ho"]) + cp["W_co"] * c)
+        c, h = new_c, np.tanh(new_c) * o
+        hs.append(h)
+
+    dp = p["decoder"]
+    maps = []
+    for step in range(t):
+        y = hs[step] * (dp["bn_scale"] / np.sqrt(1.001)) + dp["bn_offset"]
+        y = _np_deconv(y, dp["up1_w"], 3, "VALID")
+        y = _np_deconv(y, dp["up2_w"], 2, "VALID")
+        y = _np_deconv(y, dp["up3_w"], 1, "SAME")
+        y = y.reshape(-1, 12) @ dp["out_W"] + dp["out_b"]
+        maps.append(y.reshape(b, 49, 49))
+    expected = np.stack(maps, axis=1)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
 def test_gaze_c3d_conv_full_forward_golden():
     """Non-recurrent ablation: projection -> 3 deconvs (no BN) -> head."""
     b, t = 2, 2
