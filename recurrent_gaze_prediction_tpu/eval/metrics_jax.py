@@ -295,5 +295,12 @@ def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
             other_map = build_other_map_union(fixation, k_other)
         else:
             other_map = jnp.zeros(fixation.shape[-2:], fixation.dtype)
+    if any(m.startswith("AUC") for m in metrics):
+        # exact AUC thresholds need capacity >= the densest fixation map;
+        # round up to a power of two to bound recompilation
+        densest = int(jnp.max(jnp.sum(
+            fixation.reshape(fixation.shape[0], -1) > 0.5, axis=-1)))
+        if densest > max_fix:
+            max_fix = 1 << (densest - 1).bit_length()
     return _evaluate_batch_jit(pred, gt, fixation, other_map, key,
                                tuple(metrics), max_fix, n_rep)

@@ -152,3 +152,22 @@ def test_numpy_saliency_score_aggregate():
     score_sauc = mnp.saliency_score("AUC_shuffled", list(pred), list(gt),
                                     list(fix), rng=rng)
     assert 0.0 <= score_sauc <= 1.0
+
+
+def test_evaluate_batch_autosizes_auc_capacity():
+    """Frames with more fixations than the default max_fix=64 still get
+    exact AUC-Judd thresholds (capacity auto-raised)."""
+    rng = np.random.RandomState(12)
+    n, h, w = 4, 49, 49
+    pred = rng.rand(n, h, w).astype(np.float32)
+    gt = rng.rand(n, h, w).astype(np.float32) + 0.05
+    fix = (rng.rand(n, h, w) < 0.06).astype(np.float32)  # ~144 fixations
+    assert fix.reshape(n, -1).sum(-1).max() > 64
+    scores = mj.evaluate_batch(jnp.array(pred), jnp.array(gt),
+                               jnp.array(fix), jax.random.PRNGKey(0),
+                               metrics=("AUC_Judd",))
+    dev = np.asarray(scores["AUC_Judd"])
+    ref = np.array([mnp.AUC_Judd(f, mnp.normalize_range(p),
+                                 rng=np.random.RandomState(0))
+                    for p, f in zip(pred, fix)])
+    np.testing.assert_allclose(dev, ref, atol=2e-3)
