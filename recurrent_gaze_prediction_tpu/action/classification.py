@@ -164,6 +164,28 @@ class ActionClassifier:
                   if k in ("c3d", "gaze_pred", "labels")}
         return np.asarray(predict_proba(self.params, jbatch, self.hp))
 
+    def save(self, path: str) -> None:
+        """Params-only checkpoint (the reference checkpoints the classifier
+        graph with tf.train.Saver; here orbax params suffice)."""
+        from ..train.checkpoint import save_params
+
+        save_params(path, self.params)
+
+    @classmethod
+    def load(cls, path: str, hp: Optional[ActionHParams] = None
+             ) -> "ActionClassifier":
+        import jax as _jax
+
+        from ..train.checkpoint import load_params
+
+        clf = cls(hp)
+        abstract = _jax.tree_util.tree_map(
+            lambda x: _jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            clf.params)
+        clf.params = load_params(path, abstract)
+        clf.opt_state = clf.tx.init(clf.params)
+        return clf
+
 
 # --------------------------------------------------------------- metrics
 

@@ -106,3 +106,16 @@ def test_evaluate_metrics_perfect_prediction():
     assert result["hamming_loss"] == 0.0
     assert result["zero_one_loss"] == 0.0
     assert result["mean_average_precision"] == 1.0
+
+
+def test_classifier_save_load_roundtrip(tmp_path):
+    hp = ActionHParams(batch_size=8, max_iter=5, use_gazemap=True)
+    clf = ActionClassifier(hp)
+    data = _fake_records(16)
+    clf.fit([{k: v[:8] for k, v in data.items()}] * 5)
+    path = str(tmp_path / "clf_params")
+    clf.save(path)
+
+    loaded = ActionClassifier.load(path, hp)
+    np.testing.assert_allclose(clf.predict(data), loaded.predict(data),
+                               rtol=1e-6)
