@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--shallownet_pretrain", default=None,
                         help="params checkpoint to graft into ShallowNet")
     parser.add_argument("--compute_dtype", default=None)
+    parser.add_argument("--no_pallas", dest="use_pallas",
+                        action="store_false", default=True,
+                        help="disable the fused Pallas recurrence kernels")
     parser.add_argument("--seed", default=0, type=int)
     return parser
 
@@ -92,6 +95,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         "model.loss_type": args.loss_type,
         "model.n_lstm_steps": args.n_lstm_steps,
         "model.compute_dtype": args.compute_dtype,
+        "model.use_pallas": args.use_pallas,
         "optimizer.initial_learning_rate": args.learning_rate,
         "optimizer.learning_rate_decay": args.learning_rate_decay,
         "schedule.max_steps": args.max_steps,
