@@ -65,6 +65,9 @@ def main(argv: Optional[list[str]] = None) -> int:
                                        t=model.cfg.n_lstm_steps,
                                        gazemap_hw=(gh, gw), seed=exp.seed)
     else:
+        if not args.data_root:
+            log.error("--data_root is required for dataset %s", exp.dataset)
+            return 1
         layouts = {exp.dataset: crc_data.DatasetLayout(root=args.data_root)}
         splits = crc_data.read_crc_data_sets(
             model.cfg.image_height, model.cfg.image_width, gh, gw,

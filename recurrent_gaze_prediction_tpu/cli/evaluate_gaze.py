@@ -69,6 +69,9 @@ def main(argv: Optional[list[str]] = None) -> int:
             n_train=2, n_valid=8, n_test=2, t=model.cfg.n_lstm_steps,
             gazemap_hw=(gh, gw), seed=exp.seed).valid
     else:
+        if not args.data_root:
+            log.error("--data_root is required for dataset %s", exp.dataset)
+            return 1
         layouts = {exp.dataset: crc_data.DatasetLayout(root=args.data_root)}
         dataset = crc_data.read_crc_data_sets(
             model.cfg.image_height, model.cfg.image_width, gh, gw,
