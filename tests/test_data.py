@@ -196,3 +196,18 @@ def test_salicon_loader(tmp_path):
     assert maps.shape == (4, 49, 49)
     assert len(fixs) == 4
     assert images.max() <= 1.0
+
+
+def test_seq_helpers():
+    from recurrent_gaze_prediction_tpu.data.seq import (
+        chunk_streams,
+        subsample_indices,
+    )
+
+    idx = subsample_indices(40)
+    np.testing.assert_array_equal(idx, np.arange(15, 40, 5))
+
+    streams = {"a": np.arange(10).reshape(10, 1), "names": list("abcdefghij")}
+    out = chunk_streams(streams, seq_len=4)
+    assert out["a"].shape == (3, 4, 1)      # 2 full + tail
+    assert len(out["names"]) == 3 and len(out["names"][0]) == 4
