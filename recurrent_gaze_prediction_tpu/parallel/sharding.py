@@ -78,17 +78,24 @@ def make_sharded_train_step(model: GazeModel, tx, mesh: Mesh, *,
 
     batch_sh = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
+    cache: dict = {}
 
     def wrapper(state, batch, rng):
-        state_sh = _state_shardings(state, mesh, model_parallel)
-        batch_shardings = {k: batch_sh for k in batch}
-        jitted = jax.jit(
-            step_fn,
-            in_shardings=(state_sh, batch_shardings, repl),
-            out_shardings=(state_sh, {"loss": repl, "grad_norm": repl,
-                                      "step": repl}),
-            donate_argnums=(0,) if donate else (),
-        )
+        # Build the jitted step ONCE per (state structure, batch keys) —
+        # rebuilding jax.jit per call would retrace/recompile every step.
+        key = (jax.tree_util.tree_structure(state), tuple(sorted(batch)))
+        jitted = cache.get(key)
+        if jitted is None:
+            state_sh = _state_shardings(state, mesh, model_parallel)
+            batch_shardings = {k: batch_sh for k in batch}
+            jitted = jax.jit(
+                step_fn,
+                in_shardings=(state_sh, batch_shardings, repl),
+                out_shardings=(state_sh, {"loss": repl, "grad_norm": repl,
+                                          "step": repl}),
+                donate_argnums=(0,) if donate else (),
+            )
+            cache[key] = jitted
         return jitted(state, batch, rng)
 
     return wrapper
@@ -104,13 +111,19 @@ def make_sharded_predict(model: GazeModel, mesh: Mesh, *,
     def predict_fn(params, frames, c3d):
         return model.predict(params, frames, c3d)
 
+    cache: dict = {}
+
     def wrapper(params, frames, c3d):
-        param_sh = params_shardings(params, mesh, model_parallel)
-        jitted = jax.jit(
-            predict_fn,
-            in_shardings=(param_sh, batch_sh, batch_sh),
-            out_shardings=batch_sh,
-        )
+        key = jax.tree_util.tree_structure(params)
+        jitted = cache.get(key)
+        if jitted is None:
+            param_sh = params_shardings(params, mesh, model_parallel)
+            jitted = jax.jit(
+                predict_fn,
+                in_shardings=(param_sh, batch_sh, batch_sh),
+                out_shardings=batch_sh,
+            )
+            cache[key] = jitted
         return jitted(params, frames, c3d)
 
     return wrapper
