@@ -68,10 +68,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         if not args.data_root:
             log.error("--data_root is required for dataset %s", exp.dataset)
             return 1
-        layouts = {exp.dataset: crc_data.DatasetLayout(root=args.data_root)}
+        layouts = crc_data.layouts_for(exp.dataset, args.data_root)
         splits = crc_data.read_crc_data_sets(
             model.cfg.image_height, model.cfg.image_width, gh, gw,
-            dataset=exp.dataset, layouts=layouts, split_modes=args.split)
+            dataset=exp.dataset, layouts=layouts,
+            seq_len=model.cfg.n_lstm_steps, split_modes=args.split)
     dataset = getattr(splits, args.split)
 
     labels_dict = {}

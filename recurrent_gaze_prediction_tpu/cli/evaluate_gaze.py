@@ -72,10 +72,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         if not args.data_root:
             log.error("--data_root is required for dataset %s", exp.dataset)
             return 1
-        layouts = {exp.dataset: crc_data.DatasetLayout(root=args.data_root)}
+        layouts = crc_data.layouts_for(exp.dataset, args.data_root)
         dataset = crc_data.read_crc_data_sets(
             model.cfg.image_height, model.cfg.image_width, gh, gw,
             dataset=exp.dataset, layouts=layouts, split_modes="valid",
+            seq_len=model.cfg.n_lstm_steps,
             fixation_original_scale=not args.on_device,
             max_folders=500).valid
 
@@ -95,17 +96,38 @@ def main(argv: Optional[list[str]] = None) -> int:
     evaluator.write_overall(os.path.join(out_dir, "overall.txt"), scores)
     log.infov("wrote %s", os.path.join(out_dir, "overall.txt"))
 
-    # per-frame scores (reference scores.txt, evaluate_gaze.py:149-158)
-    per_frame = evaluator.metrics_jax.evaluate_batch(
-        jax.numpy.asarray(ret["pred_gazemaps"]),
-        jax.numpy.asarray(ret["gt_gazemaps"]),
-        jax.numpy.asarray(ret["fixationmaps"]),
-        jax.random.PRNGKey(0), metrics=tuple(args.metrics))
+    # per-frame scores (reference scores.txt, evaluate_gaze.py:149-158).
+    # The NumPy protocol loads fixation maps at ORIGINAL scale, which the
+    # batched on-device metrics (fixed [N,H,W]) cannot consume — score
+    # per frame through metrics_np there instead.
+    n = len(ret["pred_gazemaps"])
+    if args.on_device:
+        per_frame = evaluator.metrics_jax.evaluate_batch(
+            jax.numpy.asarray(ret["pred_gazemaps"]),
+            jax.numpy.asarray(ret["gt_gazemaps"]),
+            jax.numpy.asarray(ret["fixationmaps"]),
+            jax.random.PRNGKey(0), metrics=tuple(args.metrics))
+
+        def frame_score(metric, i):
+            return float(per_frame[metric][i])
+    else:
+        rng = np.random.RandomState(0)
+        other_union = None
+        if "AUC_shuffled" in args.metrics and n:
+            fix = ret["fixationmaps"]
+            other_union = np.zeros(np.asarray(fix[0]).shape)
+            for j in rng.choice(range(n), min(10, n), replace=False):
+                other_union += (np.asarray(fix[j]) > 0).astype(np.int64)
+
+        def frame_score(metric, i):
+            return evaluator.metrics_np.saliency_score_single(
+                metric, ret["pred_gazemaps"][i], ret["gt_gazemaps"][i],
+                ret["fixationmaps"][i], other_map_union=other_union, rng=rng)
+
     with open(os.path.join(out_dir, "scores.txt"), "w") as f:
         f.write("frame\t" + "\t".join(args.metrics) + "\n")
-        n = len(ret["pred_gazemaps"])
         for i in range(n):
-            row = "\t".join(f"{float(per_frame[m][i]):.6f}"
+            row = "\t".join(f"{frame_score(m, i):.6f}"
                             for m in args.metrics)
             f.write(f"{i:06d}\t{row}\n")
 

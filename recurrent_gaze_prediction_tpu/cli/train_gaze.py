@@ -40,15 +40,14 @@ def load_datasets(exp: ExperimentConfig, args) -> "DataSplits":
             n_train=args.synthetic_clips, n_valid=max(args.synthetic_clips // 2, 2),
             n_test=max(args.synthetic_clips // 2, 2),
             t=exp.model.n_lstm_steps, gazemap_hw=(gh, gw), seed=exp.seed)
-    layouts = {}
-    for name in ("crc", "hollywood2"):
-        if args.data_root:
-            layouts[name] = crc_data.DatasetLayout(
-                root=args.data_root if exp.dataset != "crcxh2"
-                else f"{args.data_root}/{name}")
+    layouts = crc_data.layouts_for(exp.dataset, args.data_root)
+    # window length follows the model's unroll length (the reference keeps
+    # both at 42: SEQ_LEN `crc_input_data_seq.py:486`, n_lstm_steps
+    # `models/gaze_rnn.py:50`)
     return crc_data.read_crc_data_sets(
         exp.model.image_height, exp.model.image_width, gh, gw,
-        dataset=exp.dataset, layouts=layouts, cache_dir=args.cache_dir,
+        dataset=exp.dataset, layouts=layouts,
+        seq_len=exp.model.n_lstm_steps, cache_dir=args.cache_dir,
         max_folders=args.max_folders)
 
 
@@ -83,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.dataset != "synthetic" and not args.data_root:
+        log.error("--data_root is required for dataset %s", args.dataset)
+        return 1
 
     exp = ExperimentConfig()
     exp.dataset = args.dataset

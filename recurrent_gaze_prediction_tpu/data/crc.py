@@ -63,6 +63,19 @@ class DatasetLayout:
             if os.path.isdir(os.path.join(base, f)))
 
 
+def layouts_for(dataset: str, data_root: str) -> dict[str, DatasetLayout]:
+    """Per-dataset layout table for a CLI --data_root.
+
+    `crcxh2` concatenates BOTH constituent datasets
+    (`crc_input_data_seq.py:518-529`), so it needs both layouts, rooted at
+    `{data_root}/{name}`; plain datasets use `data_root` directly.
+    """
+    if dataset == "crcxh2":
+        return {name: DatasetLayout(root=os.path.join(data_root, name))
+                for name in ("crc", "hollywood2")}
+    return {dataset: DatasetLayout(root=data_root)}
+
+
 def read_clip(layout: DatasetLayout, clip: str, image_height: int,
               image_width: int, gazemap_height: Optional[int],
               gazemap_width: Optional[int],

@@ -38,7 +38,9 @@ def generate(predict_fn: Callable, params, dataset: ClipDataset,
         fix_list.append(fix.reshape(b * t, *fix.shape[2:]))
         img_list.append(batch["frames"].reshape(b * t,
                                                 *batch["frames"].shape[2:]))
-        name_list.extend(batch["clipnames"])
+        # one name per FRAME, so clipnames stays aligned with the flattened
+        # per-frame stacks (the reference keeps one name per frame too)
+        name_list.extend(n for n in batch["clipnames"] for _ in range(t))
     return {
         "pred_gazemaps": np.concatenate(pred_list),
         "gt_gazemaps": np.concatenate(gt_list),

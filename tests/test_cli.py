@@ -90,3 +90,62 @@ def test_pretrain_shallownet_cli(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_train_cli_missing_data_root():
+    """Real datasets without --data_root exit with a clear error, not a
+    KeyError (ADVICE r1)."""
+    assert train_gaze.main(["--dataset", "crc", "--max_steps", "1"]) == 1
+
+
+def test_crcxh2_train_and_numpy_protocol_eval(tmp_path):
+    """crcxh2 end-to-end through the CLIs (ADVICE r1 mediums): the
+    evaluate/create_records layout table must contain BOTH constituent
+    datasets, and --numpy_protocol (original-scale fixation maps) must not
+    reach the fixed-shape on-device per-frame metrics."""
+    from test_data import _write_fake_dataset
+
+    root = str(tmp_path / "data")
+    for name in ("crc", "hollywood2"):
+        _write_fake_dataset(os.path.join(root, name), n_clips=3)
+
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn77", "--dataset", "crcxh2",
+        "--data_root", root, "--max_steps", "2", "--n_lstm_steps", "6",
+        "--batch_size", "2", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+    ])
+    assert rc == 0
+
+    out_dir = str(tmp_path / "eval")
+    rc = evaluate_gaze.main([
+        "--train_dir", train_dir, "--out_dir", out_dir,
+        "--data_root", root, "--numpy_protocol", "--metrics", "cc", "sim",
+    ])
+    assert rc == 0
+    overall = open(os.path.join(out_dir, "overall.txt")).read()
+    assert "cc:" in overall and "sim:" in overall
+    scores = open(os.path.join(out_dir, "scores.txt")).read().splitlines()
+    assert len(scores) > 1  # header + per-frame rows
+
+
+def test_evaluator_clipnames_per_frame():
+    """generate() returns per-frame stacks; clipnames must align (one name
+    per FRAME, not per window — ADVICE r1 low)."""
+    import jax
+
+    from recurrent_gaze_prediction_tpu.data import synthetic
+    from recurrent_gaze_prediction_tpu.eval import evaluator
+
+    t = 4
+    data = synthetic.make_clip_windows(4, t, seed=0)
+
+    def predict(params, frames, c3d):
+        return np.zeros((frames.shape[0], t, 49, 49), np.float32)
+
+    ret = evaluator.generate(predict, {}, data, batch_size=2,
+                             max_instances=None)
+    assert len(ret["clipnames"]) == len(ret["pred_gazemaps"])
+    assert ret["clipnames"][0] == ret["clipnames"][t - 1]
+    assert ret["clipnames"][t] != ret["clipnames"][t - 1]

@@ -211,3 +211,16 @@ def test_seq_helpers():
     out = chunk_streams(streams, seq_len=4)
     assert out["a"].shape == (3, 4, 1)      # 2 full + tail
     assert len(out["names"]) == 3 and len(out["names"][0]) == 4
+
+
+def test_layouts_for_crcxh2():
+    """crcxh2 needs BOTH constituent layouts (ADVICE r1: evaluate/create_
+    records crashed with KeyError 'crc')."""
+    from recurrent_gaze_prediction_tpu.data.crc import layouts_for
+
+    both = layouts_for("crcxh2", "/data")
+    assert set(both) == {"crc", "hollywood2"}
+    assert both["crc"].root == "/data/crc"
+    assert both["hollywood2"].root == "/data/hollywood2"
+    single = layouts_for("crc", "/data")
+    assert set(single) == {"crc"} and single["crc"].root == "/data"
