@@ -6,8 +6,13 @@ subsample/resize -> ConvGRU (Pallas kernel) -> deconv decoder -> 49x49
 probability maps — as one jitted XLA program. Baseline target: 2000
 frames/sec/chip (BASELINE.md).
 
+Also reports MFU (XLA cost-model FLOPs / device peak) for the inference
+program and for the feature-fed training step, so throughput is anchored
+to the roofline rather than only to the reference baseline.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N,
+   "mfu": ..., "train_step_ms": ..., "train_mfu": ..., "device": ...}
 """
 
 from __future__ import annotations
@@ -27,9 +32,11 @@ import jax.numpy as jnp
 BASELINE_FPS = 2000.0
 
 
-def main() -> None:
+def bench_inference():
+    """Fused raw-video inference: frames/sec + MFU."""
     from recurrent_gaze_prediction_tpu import registry
     from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
 
     b, f = 8, 160  # 8 clips x 160 raw frames (10 C3D windows each)
     t = pipeline.pipeline_timesteps(f)
@@ -63,11 +70,68 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     frames_per_sec = b * f * n_iters / elapsed
+    flops = mfu_lib.compiled_flops(step, c3d_params, gaze_params, frames,
+                                   jnp.float32(0.0))
+    util = mfu_lib.mfu(flops, n_iters / elapsed)
+    return frames_per_sec, util
+
+
+def bench_train_step():
+    """Feature-fed gaze_grcn train step at the reference's shape regime
+    (T=42): step latency + MFU. State chaining (step i+1 consumes step i's
+    TrainState) forces sequential execution; the final loss transfer syncs
+    the whole chain."""
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.data import synthetic
+    from recurrent_gaze_prediction_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    b, t = 16, 42
+    exp = ExperimentConfig()
+    model = registry.create_model("gaze_grcn", exp.model, n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="bfloat16")
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    step = make_train_step(model, tx, use_flip=True, donate=True)
+
+    data = synthetic.make_clip_windows(b, t, seed=0)
+    batch = {k: jnp.asarray(v)
+             for k, v in data.next_batch(b).items() if k != "clipnames"}
+    rng = jax.random.PRNGKey(1)
+
+    flops = mfu_lib.compiled_flops(step, state, batch, rng)
+
+    state, metrics = step(state, batch, rng)  # compile + warmup
+    float(metrics["loss"])
+
+    n_iters = 10
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch, rng)
+    assert float(metrics["loss"]) != 0.0
+    elapsed = time.perf_counter() - start
+
+    step_ms = elapsed / n_iters * 1e3
+    util = mfu_lib.mfu(flops, n_iters / elapsed)
+    return step_ms, util
+
+
+def main() -> None:
+    frames_per_sec, infer_mfu = bench_inference()
+    train_ms, train_mfu = bench_train_step()
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
+        "mfu": round(infer_mfu, 4) if infer_mfu else None,
+        "train_step_ms": round(train_ms, 2),
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "device": jax.devices()[0].device_kind,
     }))
 
 

@@ -87,3 +87,30 @@ def test_profiler_hooks_run(tmp_path):
     profiler.profile_steps(f, (jax.numpy.ones((8, 8)),), 2,
                            str(tmp_path / "trace"))
     assert os.path.isdir(tmp_path / "trace")
+
+
+def test_mfu_accounting():
+    """compiled_flops reads XLA's cost model; a 512^3 matmul is exactly
+    2*512^3 FLOPs. On CPU peak is unknown -> mfu() returns None; with an
+    injected peak the utilization math is checked directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    f = jax.jit(lambda a, b: a @ b)
+    x = jnp.ones((512, 512), jnp.float32)
+    flops = mfu_lib.compiled_flops(f, x, x)
+    if flops is not None:  # CPU backend exposes a cost model in this jax
+        assert abs(flops - 2 * 512**3) / (2 * 512**3) < 0.01
+
+    assert mfu_lib.peak_flops(jax.devices("cpu")[0]) is None
+    assert mfu_lib.mfu(1e9, 10.0, jax.devices("cpu")[0]) is None
+    # 1 GFLOP/call * 10 calls/s = 10 GFLOP/s; at a 100 GFLOP/s peak -> 0.1
+    mfu_lib.PEAK_FLOPS_PER_CHIP["FakeChip"] = 100e9
+    try:
+        class _D:
+            device_kind = "FakeChip"
+        assert abs(mfu_lib.mfu(1e9, 10.0, _D()) - 0.1) < 1e-9
+    finally:
+        del mfu_lib.PEAK_FLOPS_PER_CHIP["FakeChip"]
