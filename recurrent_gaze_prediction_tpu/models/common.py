@@ -112,12 +112,19 @@ def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
     x = conv2d_transpose(x, params["up2_w"], stride=2, padding="VALID",
                          compute_dtype=compute_dtype,
                          out_dtype=compute_dtype)
-    x = conv2d_transpose(x, params["up3_w"], stride=1, padding="SAME",
-                         compute_dtype=compute_dtype,
-                         out_dtype=compute_dtype)
+    # up3 (7x7, 32->12, stride 1) and the 12->1 linear head are a LINEAR
+    # composition (no nonlinearity between them in the reference either,
+    # `gaze_grcn.py:353-362`) — fold the 12-channel intermediate into the
+    # kernel once per call: 12x fewer FLOPs on the largest decoder conv
+    # (49x49 spatial), measured 14.1 -> 9.5 ms decoder fwd+bwd at B*T=672
+    # (BENCHMARKS.md round 2). Gradients flow through the einsum, so
+    # up3_w / out_W training and checkpoints are unchanged.
+    w_eff = jnp.einsum("hwio,oj->hwij", params["up3_w"], params["out_W"])
+    # out_dtype left at fp32: the logits head always emitted fp32
+    x = conv2d_transpose(x, w_eff, stride=1, padding="SAME",
+                         compute_dtype=compute_dtype)
     n = x.shape[0]
-    out = linear(x.reshape(-1, 12), params["out_W"], params["out_b"],
-                 compute_dtype=compute_dtype)
+    out = x.reshape(-1, 1) + params["out_b"].astype(x.dtype)
     out = dropout(out, keep_prob, rng, deterministic=not train)
     return out.reshape(n, 49, 49)
 
