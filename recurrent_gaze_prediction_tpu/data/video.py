@@ -10,10 +10,11 @@ Rebuild of the OpenCV stage in
     variant for attention-conditioned C3D features (`add_attention`,
     `:739-761`)
 
-Decoding is backend-gated: cv2 or imageio(+ffmpeg/pyav) when available;
-the container image used for CI has neither, so everything downstream is
-tested against frame arrays / JPEG folders directly, and
-`decode_video` raises a clear error listing the install options.
+Decoding is backend-gated: cv2 when importable, then imageio(+ffmpeg/
+pyav), and `decode_video` raises a clear error listing the install
+options when neither exists. The decode path is exercised end-to-end in
+tests/test_streaming.py (synthesized .avi -> frames -> fused C3D+gaze
+pipeline).
 """
 
 from __future__ import annotations

@@ -85,6 +85,47 @@ def make_fused_predict(gaze_model: GazeModel, *, num_frames: int,
     return fn
 
 
+def predict_video(c3d_params: dict, gaze_params, gaze_model: GazeModel,
+                  video_path: str, *, num_frames: Optional[int] = None,
+                  compute_dtype=jnp.bfloat16):
+    """Video FILE -> per-frame gaze maps, no pre-extracted arrays.
+
+    Replaces the reference's three-process chain (OpenCV frame dump ->
+    C3D Caffe subprocess -> `.c3d` pickle -> extract_map session,
+    `extract_C3D_features.py:801-926` + `models/extract_map.py`): decode
+    the video on host, then run the one fused XLA program.
+
+    `num_frames` fixes the jitted clip length (pad short / truncate long,
+    like `extract_map.py:170-199`); by default the decoded length is
+    rounded down to a whole number of 16-frame windows. Returns
+    (maps [T, GH, GW], n_valid_timesteps).
+    """
+    import numpy as np
+
+    from ..data import video as video_lib
+
+    frames = list(video_lib.decode_video(video_path))
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    stacked = np.stack(frames)
+    f_avail = stacked.shape[0]
+    f = num_frames if num_frames is not None else (f_avail // 16) * 16
+    if f < 16:
+        raise ValueError(f"need >= 16 frames, decoded {f_avail}")
+    if f_avail >= f:
+        stacked = stacked[:f]
+    else:  # zero-pad to the static length (extract_map.py:170-199)
+        pad = np.zeros((f - f_avail,) + stacked.shape[1:], stacked.dtype)
+        stacked = np.concatenate([stacked, pad])
+
+    fn = make_fused_predict(gaze_model, num_frames=f,
+                            compute_dtype=compute_dtype)
+    maps = fn(c3d_params, gaze_params,
+              jnp.asarray(stacked, jnp.float32)[None])
+    n_valid = pipeline_timesteps(min(f_avail, f))
+    return maps[0], n_valid
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
                           compute_dtype=jnp.bfloat16):
