@@ -223,3 +223,93 @@ def test_caffemodel_roundtrip_and_c3d_load(tmp_path):
                             jnp.zeros((1, 16, 112, 112, 3)),
                             feature_layer="conv5b")
     assert feats.shape == (1, 2, 7, 7, 512)
+
+
+# ------------------------------------------------- TF-anchored full goldens
+#
+# VERDICT r1: the NumPy golden networks were transcribed by the same author
+# as the JAX forwards, so a shared misreading of TF semantics would pass.
+# These rebuild the two load-bearing forward paths from raw tf.nn ops with
+# SHARED weights and assert fp32 parity — an independent oracle.
+
+def _tf_maxout2(x):
+    """Reference maxout: max of the two halves of the last dim
+    (`saliency_shallownet.py:157-158`)."""
+    d = x.shape[-1] // 2
+    return tf.maximum(x[..., :d], x[..., d:])
+
+
+def test_tf_golden_shallownet_full_forward():
+    """ShallowNet conv/pool/fc/maxout chain vs tf.nn ops
+    (`saliency_shallownet.py:74-216`)."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    params = shallownet.init_params(jax.random.PRNGKey(3))
+    images = rng.rand(4, 98, 98, 3).astype(np.float32)
+
+    x = tf.constant(images)
+    x = tf.nn.relu(tf.nn.conv2d(x, params["conv1_w"], 1, "VALID")
+                   + params["conv1_b"])
+    x = tf.nn.max_pool2d(x, 2, 2, "SAME")
+    x = tf.nn.relu(tf.nn.conv2d(x, params["conv2_w"], 1, "VALID")
+                   + params["conv2_b"])
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+    x = tf.nn.relu(tf.nn.conv2d(x, params["conv3_w"], 1, "VALID")
+                   + params["conv3_b"])
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+    x = tf.reshape(x, (4, -1))
+    x = tf.nn.relu(tf.matmul(x, params["fc1_w"]) + params["fc1_b"])
+    x = _tf_maxout2(x)
+    x = tf.nn.relu(tf.matmul(x, params["fc2_w"]) + params["fc2_b"])
+    x = _tf_maxout2(x)
+    expected = tf.reshape(x, (4, 49, 49)).numpy()
+
+    ours = np.asarray(shallownet.apply(params, images))
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_tf_golden_grcn_decoder_chain():
+    """The GRCN 3-deconv decoder (BN -> 7->23->49 deconvs -> 12->1 head) vs
+    tf.nn ops (`gaze_grcn.py:318-366`) — also validates the folded head
+    against the UNfolded TF formulation."""
+    import jax
+
+    from recurrent_gaze_prediction_tpu.models.common import (
+        apply_decoder,
+        init_decoder,
+    )
+
+    rng = np.random.RandomState(8)
+    params = init_decoder(jax.random.PRNGKey(4), in_channels=128)
+    # non-trivial BN params so the frozen-BN semantics are actually checked
+    params["bn_scale"] = jnp.asarray(
+        1.0 + 0.1 * rng.randn(128).astype(np.float32))
+    params["bn_offset"] = jnp.asarray(
+        0.1 * rng.randn(128).astype(np.float32))
+    x_in = rng.randn(6, 7, 7, 128).astype(np.float32)
+
+    def jax_to_tf_deconv(k):  # HWIO (scattered flipped) -> TF [h,w,out,in]
+        return np.asarray(k)[::-1, ::-1].transpose(0, 1, 3, 2)
+
+    n = x_in.shape[0]
+    eps = 1e-3
+    x = tf.constant(x_in)
+    # tf.layers.batch_normalization with untrained moving stats (mean 0,
+    # var 1): y = scale * x / sqrt(1 + eps) + offset
+    x = x * (params["bn_scale"] / np.sqrt(1.0 + eps)) + params["bn_offset"]
+    x = tf.nn.conv2d_transpose(x, jax_to_tf_deconv(params["up1_w"]),
+                               output_shape=[n, 23, 23, 64],
+                               strides=[1, 3, 3, 1], padding="VALID")
+    x = tf.nn.conv2d_transpose(x, jax_to_tf_deconv(params["up2_w"]),
+                               output_shape=[n, 49, 49, 32],
+                               strides=[1, 2, 2, 1], padding="VALID")
+    x = tf.nn.conv2d_transpose(x, jax_to_tf_deconv(params["up3_w"]),
+                               output_shape=[n, 49, 49, 12],
+                               strides=[1, 1, 1, 1], padding="SAME")
+    x = tf.matmul(tf.reshape(x, (-1, 12)), params["out_W"]) + params["out_b"]
+    expected = tf.reshape(x, (n, 49, 49)).numpy()
+
+    ours = np.asarray(apply_decoder(params, jnp.asarray(x_in),
+                                    keep_prob=1.0, rng=None, train=False))
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-4)
