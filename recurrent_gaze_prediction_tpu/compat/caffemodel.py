@@ -85,56 +85,112 @@ def _encode_field(field: int, wire: int, payload: bytes) -> bytes:
 
 # ---------------------------------------------------------------- parsing
 
-def _parse_blob(buf: memoryview) -> np.ndarray:
+def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
+    """BlobProto bytes -> array, across the three schema generations:
+
+      C3D/V1 era:  num=1 channels=2 length=3 height=4 width=5 (varints),
+                   data = 6 (packed or unpacked float)
+      modern/V0:   shape = 7 (BlobShape{dim=1 repeated varint}),
+                   data = 5 (or 6 in V0, packed float); legacy 4-D dims
+                   num=1 channels=2 height=3 width=4
+
+    The field-3/4 varints are ambiguous between the 5-D (`length`) and
+    4-D layouts, so the caller passes `legacy_4d` from the NetParameter
+    framing (modern/V0 BlobProtos are 4-D). A `shape` submessage always
+    wins.
+    """
     dims = {}
     data: Optional[np.ndarray] = None
     shape7 = None
     for field, wire, value in _iter_fields(buf):
         if wire == 0 and 1 <= field <= 5:
             dims[field] = value
-        elif field == 6 and wire == 2:            # C3D: packed float data
+        elif field in (5, 6) and wire == 2:
+            # packed float data: field 6 (C3D/V1) or field 5 (modern).
+            # A wire-2 field 5 cannot be the `width` varint, so there is
+            # no clash with the 5-D dims.
             data = np.frombuffer(bytes(value), dtype="<f4")
-        elif field == 6 and wire == 5:            # unpacked float entry
+        elif field in (5, 6) and wire == 5:        # unpacked float entry
             v = struct.unpack("<f", value)[0]
             data = (np.append(data, v) if data is not None
                     else np.array([v], np.float32))
-        elif field == 5 and wire == 2 and 5 not in dims:
-            # modern BlobProto fallback: data = 5 packed
-            data = np.frombuffer(bytes(value), dtype="<f4")
-        elif field == 7 and wire == 2 and data is None:
-            # modern BlobShape { dims = 1 repeated varint }
-            shape7 = [v for f, w, v in _iter_fields(value) if f == 1]
+        elif field == 7 and wire == 2:
+            # BlobShape { dim = 1 repeated varint, packed or not } — parse
+            # regardless of field order (serializers commonly emit data=5
+            # before shape=7)
+            shape7 = []
+            for f, w, v in _iter_fields(value):
+                if f != 1:
+                    continue
+                if w == 0:                       # unpacked varint
+                    shape7.append(v)
+                elif w == 2:                     # packed varints
+                    pos = 0
+                    while pos < len(v):
+                        dim, pos = _read_varint(v, pos)
+                        shape7.append(dim)
     if data is None:
         raise ValueError("blob without data")
     if shape7:
         return data.reshape(shape7).astype(np.float32)
-    shape = [dims.get(i, 1) for i in range(1, 6)]
-    if int(np.prod(shape)) != data.size:
-        # header/dim mismatch: return flat rather than guessing
-        log.warn("blob dims %s != data size %d; leaving flat", shape,
-                 data.size)
-        return data.astype(np.float32)
-    return data.reshape(shape).astype(np.float32)
+    shape5 = [dims.get(i, 1) for i in range(1, 6)]  # 5-D [n,c,l,h,w]
+    shape4 = [dims.get(i, 1) for i in range(1, 5)]  # legacy 4-D [n,c,h,w]
+    candidates = ([shape4, shape5] if (legacy_4d and 5 not in dims)
+                  else [shape5, shape4])
+    for shape in candidates:
+        if int(np.prod(shape)) == data.size:
+            return data.reshape(shape).astype(np.float32)
+    # header/dim mismatch: return flat rather than guessing
+    log.warn("blob dims %s != data size %d; leaving flat", shape5,
+             data.size)
+    return data.astype(np.float32)
+
+
+def _parse_layer_message(buf: memoryview, name_field: int, blob_field: int,
+                         legacy_4d: bool = False
+                         ) -> tuple[Optional[str], list]:
+    name = None
+    blobs = []
+    for lf, lw, lv in _iter_fields(buf):
+        if lf == name_field and lw == 2:
+            name = bytes(lv).decode("utf-8", "replace")
+        elif lf == blob_field and lw == 2:
+            blobs.append(_parse_blob(lv, legacy_4d=legacy_4d))
+    return name, blobs
 
 
 def parse_caffemodel(path: str) -> dict[str, list[np.ndarray]]:
-    """.caffemodel -> {layer_name: [blob, ...]} (blobs shaped
-    [num, channels, length, height, width])."""
+    """.caffemodel -> {layer_name: [blob, ...]}.
+
+    Accepts all three NetParameter framings:
+
+      V1 (the C3D fork, BVLC `V1LayerParameter`):
+        layers = 2 { name = 4, blobs = 6 }
+      V0 (oldest, `LayerConnection`/`V0LayerParameter`):
+        layers = 2 { layer = 1 { name = 1, blobs = 50 } }
+      modern (caffe 1.0 `LayerParameter`):
+        layer = 100 { name = 1, blobs = 7 }
+    """
     with open(path, "rb") as f:
         raw = memoryview(f.read())
     layers: dict[str, list[np.ndarray]] = {}
     for field, wire, value in _iter_fields(raw):
         if wire != 2 or field not in (2, 100):   # layers / layer
             continue
-        name = None
-        blobs = []
-        name_field = 4 if field == 2 else 1      # V1 vs modern layer
-        blob_field = 6 if field == 2 else 7
-        for lf, lw, lv in _iter_fields(value):
-            if lf == name_field and lw == 2:
-                name = bytes(lv).decode("utf-8", "replace")
-            elif lf == blob_field and lw == 2:
-                blobs.append(_parse_blob(lv))
+        if field == 100:                          # modern LayerParameter
+            name, blobs = _parse_layer_message(value, 1, 7, legacy_4d=True)
+        else:                                     # V1LayerParameter
+            name, blobs = _parse_layer_message(value, 4, 6)
+            if not blobs:
+                # V0 fallback: nested V0LayerParameter at field 1
+                for lf, lw, lv in _iter_fields(value):
+                    if lf == 1 and lw == 2:
+                        v0_name, v0_blobs = _parse_layer_message(
+                            lv, 1, 50, legacy_4d=True)
+                        if v0_blobs:
+                            name = name or v0_name
+                            blobs = v0_blobs
+                        break
         if name and blobs:
             layers[name] = blobs
     return layers

@@ -313,3 +313,158 @@ def test_tf_golden_grcn_decoder_chain():
     ours = np.asarray(apply_decoder(params, jnp.asarray(x_in),
                                     keep_prob=1.0, rng=None, train=False))
     np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------- caffemodel framing robustness
+
+_CAFFE_PROTO_V1 = """
+syntax = "proto2";
+package cafv1;
+message BlobProto {
+  optional int32 num = 1; optional int32 channels = 2;
+  optional int32 length = 3; optional int32 height = 4;
+  optional int32 width = 5;
+  repeated float data = 6 [packed = true];
+}
+message V1LayerParameter {
+  repeated string bottom = 2;
+  repeated string top = 3;
+  optional string name = 4;
+  repeated BlobProto blobs = 6;
+}
+message NetParameter {
+  optional string name = 1;
+  repeated V1LayerParameter layers = 2;
+}
+"""
+
+_CAFFE_PROTO_MODERN = """
+syntax = "proto2";
+package cafmod;
+message BlobShape { repeated int64 dim = 1 [packed = true]; }
+message BlobProto {
+  optional BlobShape shape = 7;
+  repeated float data = 5 [packed = true];
+  optional int32 num = 1; optional int32 channels = 2;
+  optional int32 height = 3; optional int32 width = 4;
+}
+message LayerParameter {
+  optional string name = 1;
+  repeated BlobProto blobs = 7;
+}
+message NetParameter {
+  optional string name = 1;
+  repeated LayerParameter layer = 100;
+}
+"""
+
+_CAFFE_PROTO_V0 = """
+syntax = "proto2";
+package cafv0;
+message BlobProto {
+  optional int32 num = 1; optional int32 channels = 2;
+  optional int32 height = 3; optional int32 width = 4;
+  repeated float data = 6 [packed = true];
+}
+message V0LayerParameter {
+  optional string name = 1;
+  optional string type = 2;
+  repeated BlobProto blobs = 50;
+}
+message LayerConnection {
+  optional V0LayerParameter layer = 1;
+  repeated string bottom = 2;
+  repeated string top = 3;
+}
+message NetParameter {
+  optional string name = 1;
+  repeated LayerConnection layers = 2;
+}
+"""
+
+
+def _compile_proto(tmp_path, name, text):
+    import importlib
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("protoc") is None:
+        pytest.skip("protoc not available")
+    proto = tmp_path / f"{name}.proto"
+    proto.write_text(text)
+    subprocess.run(["protoc", f"--python_out={tmp_path}", f"{name}.proto"],
+                   cwd=tmp_path, check=True)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        return importlib.import_module(f"{name}_pb2")
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_caffemodel_v1_framing_real_schema(tmp_path):
+    """Fixture emitted by the ACTUAL V1 protobuf schema (the C3D fork's
+    framing), not the homegrown writer (VERDICT r1 item 5)."""
+    pb = _compile_proto(tmp_path, "cafv1", _CAFFE_PROTO_V1)
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 3, 3, 3, 3).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+
+    net = pb.NetParameter(name="DeepConv3DNet")
+    layer = net.layers.add(name="conv1a")
+    layer.bottom.append("data")
+    layer.top.append("conv1a")
+    for arr, dims in ((w, w.shape), (b, (4, 1, 1, 1, 1))):
+        blob = layer.blobs.add()
+        blob.num, blob.channels, blob.length, blob.height, blob.width = dims
+        blob.data.extend(arr.reshape(-1).tolist())
+    path = str(tmp_path / "v1.caffemodel")
+    open(path, "wb").write(net.SerializeToString())
+
+    layers = parse_caffemodel(path)
+    assert set(layers) == {"conv1a"}
+    np.testing.assert_array_equal(layers["conv1a"][0], w)
+    np.testing.assert_array_equal(layers["conv1a"][1].reshape(-1), b)
+
+
+def test_caffemodel_modern_framing_real_schema(tmp_path):
+    """Modern caffe-1.0 framing: layer=100, blobs=7, packed data=5, shape
+    submessage (serialized with data BEFORE shape, the common field order)."""
+    pb = _compile_proto(tmp_path, "cafmod", _CAFFE_PROTO_MODERN)
+    rng = np.random.RandomState(1)
+    w = rng.randn(6, 2, 5, 5).astype(np.float32)
+
+    net = pb.NetParameter(name="modern")
+    layer = net.layer.add(name="convA")
+    blob = layer.blobs.add()
+    blob.data.extend(w.reshape(-1).tolist())
+    blob.shape.dim.extend(w.shape)
+    blob2 = layer.blobs.add()          # legacy 4-D dims, no shape message
+    blob2.num, blob2.channels, blob2.height, blob2.width = 1, 6, 1, 1
+    blob2.data.extend(np.arange(6, dtype=np.float32).tolist())
+    path = str(tmp_path / "modern.caffemodel")
+    open(path, "wb").write(net.SerializeToString())
+
+    layers = parse_caffemodel(path)
+    np.testing.assert_array_equal(layers["convA"][0], w)
+    assert layers["convA"][1].shape == (1, 6, 1, 1)  # 4-D legacy dims
+
+
+def test_caffemodel_v0_framing_real_schema(tmp_path):
+    """Oldest framing: layers=2 { layer=1 { name=1, blobs=50 } }."""
+    pb = _compile_proto(tmp_path, "cafv0", _CAFFE_PROTO_V0)
+    rng = np.random.RandomState(2)
+    w = rng.randn(2, 3, 4, 4).astype(np.float32)
+
+    net = pb.NetParameter(name="old")
+    conn = net.layers.add()
+    conn.layer.name = "conv_old"
+    conn.layer.type = "conv"
+    blob = conn.layer.blobs.add()
+    blob.num, blob.channels, blob.height, blob.width = w.shape
+    blob.data.extend(w.reshape(-1).tolist())
+    path = str(tmp_path / "v0.caffemodel")
+    open(path, "wb").write(net.SerializeToString())
+
+    layers = parse_caffemodel(path)
+    np.testing.assert_array_equal(layers["conv_old"][0], w)
