@@ -38,11 +38,16 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                         video_frames: jax.Array, *,
                         mean_cube: Optional[jax.Array] = None,
                         compute_dtype=jnp.bfloat16,
-                        logits: bool = False) -> jax.Array:
+                        logits: bool = False,
+                        train: bool = False,
+                        rng: Optional[jax.Array] = None) -> jax.Array:
     """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
 
     F is static; T = pipeline_timesteps(F). Jit this (optionally with the
-    model closed over) for the fused single-program path.
+    model closed over) for the fused single-program path. `train=True`
+    applies the gaze model's dropout (driven by `rng`); the C3D extractor
+    runs inference-mode either way (its dropout sits in the unused fc
+    layers, `extract_C3D_features.py:474-520`).
     """
     b, f = video_frames.shape[:2]
     t = pipeline_timesteps(f)
@@ -67,7 +72,8 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                            (b, t, 98, 98, 3), method="bilinear") / 255.0
 
     if logits:
-        return gaze_model.apply(gaze_params, sub, feats, train=False)
+        return gaze_model.apply(gaze_params, sub, feats, train=train,
+                                rng=rng)
     return gaze_model.predict(gaze_params, sub, feats)
 
 
@@ -126,8 +132,31 @@ def predict_video(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     return maps[0], n_valid
 
 
+def flip_half_video_batch(batch: dict, key: jax.Array) -> dict:
+    """Mirror a random half of a RAW-VIDEO batch horizontally, in-graph:
+    video [B,F,H,W,3] on W, gazemaps [B,T,GH,GW] on GW — the raw-video
+    analog of `train/state.flip_half_batch` (`gaze_rnn.py:502-510`; no
+    c3d stream to flip here, the in-graph extractor sees flipped pixels).
+    """
+    b = batch["video"].shape[0]
+    perm = jax.random.permutation(key, b)
+    ranks = jnp.argsort(perm)
+    flip = (ranks < b // 2)
+
+    def _maybe_flip(x, axis):
+        flipped = jnp.flip(x, axis=axis)
+        mask = flip.reshape((b,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, flipped, x)
+
+    out = dict(batch)
+    out["video"] = _maybe_flip(batch["video"], axis=3)
+    out["gazemaps"] = _maybe_flip(batch["gazemaps"], axis=3)
+    return out
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
+                          use_flip: Optional[bool] = None,
                           compute_dtype=jnp.bfloat16):
     """End-to-end training FROM RAW VIDEO: the C3D extractor sits inside
     the training graph, so the host ships uint8/float frames instead of
@@ -140,30 +169,37 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
     pixels 0..255, "gazemaps": [B,T,GH,GW]} with T =
     pipeline_timesteps(F). C3D stays frozen unless finetune_c3d (frozen =
     stop_gradient, matching the reference's frozen-feature-extractor
-    training regime).
+    training regime). Regularization matches the feature-fed step
+    (`train/state.make_train_step`): `rng` drives the random half-batch
+    horizontal flip (per `use_flip` / cfg.use_flip_batch) and the gaze
+    model's dropout.
     """
     import optax
 
     from .common import sequence_loss
     from ..ops.normalize import normalize_probability_map
 
-    def loss_fn(gaze_params, c3d_params, batch):
+    flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
+
+    def loss_fn(gaze_params, c3d_params, batch, k_drop):
         c3d_p = (c3d_params if finetune_c3d
                  else jax.tree_util.tree_map(jax.lax.stop_gradient,
                                              c3d_params))
         logits = extract_and_predict(c3d_p, gaze_params, gaze_model,
                                      batch["video"],
                                      compute_dtype=compute_dtype,
-                                     logits=True)
+                                     logits=True, train=True, rng=k_drop)
         gt = batch["gazemaps"]
         if gaze_model.cfg.loss_type in ("xentropy", "kld"):
             gt = normalize_probability_map(gt)
         return sequence_loss(logits, gt, gaze_model.cfg.loss_type)
 
     def step(gaze_params, opt_state, c3d_params, batch, rng):
-        del rng  # raw-video path has no dropout (inference-mode extract)
+        k_flip, k_drop = jax.random.split(rng)
+        if flip:
+            batch = flip_half_video_batch(batch, k_flip)
         loss, grads = jax.value_and_grad(loss_fn)(gaze_params, c3d_params,
-                                                  batch)
+                                                  batch, k_drop)
         updates, opt_state = tx.update(grads, opt_state, gaze_params)
         gaze_params = optax.apply_updates(gaze_params, updates)
         return gaze_params, opt_state, {"loss": loss}
