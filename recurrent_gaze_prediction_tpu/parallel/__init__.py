@@ -11,7 +11,9 @@ from .mesh import (
     shard_params,
 )
 from .sharding import (
+    make_sharded_fused_predict,
     make_sharded_predict,
+    make_sharded_stream_fn,
     make_sharded_train_step,
     place_state,
 )
@@ -30,4 +32,6 @@ __all__ = [
     "place_state",
     "make_sharded_train_step",
     "make_sharded_predict",
+    "make_sharded_stream_fn",
+    "make_sharded_fused_predict",
 ]

@@ -144,3 +144,65 @@ def test_dryrun_multichip_driver_conditions():
         env=env, cwd=repo, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout, out.stdout
+
+
+def test_sharded_streaming_matches_local():
+    """A batch of 8 streams over the data axis, state carried across
+    chunks on-device, == the local chunked scan per stream."""
+    from recurrent_gaze_prediction_tpu.models import streaming
+    from recurrent_gaze_prediction_tpu.parallel import make_sharded_stream_fn
+
+    model = registry.create_model("gaze_grcn", n_lstm_steps=4, batch_size=8,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    feats = rng.rand(8, 8, 1024, 7, 7).astype(np.float32)  # [B, T, ...]
+
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    step = make_sharded_stream_fn(model.cfg, mesh)
+    state = jnp.zeros((8, 7, 7, model.cfg.rnn_state_size), jnp.float32)
+    outs = []
+    for start in (0, 4):
+        state, maps = step(params, state, jnp.asarray(feats[:, start:start + 4]))
+        outs.append(np.asarray(maps))
+    sharded = np.concatenate(outs, axis=1)  # [8, 8, 49, 49]
+
+    # local single-stream reference
+    local_step = streaming.make_stream_fn(model.cfg)
+    for b in (0, 5):
+        s = streaming.init_stream_state(1, model.cfg)
+        chunks = []
+        for start in (0, 4):
+            s, m = local_step(params, s, feats[b:b + 1, start:start + 4])
+            chunks.append(np.asarray(m[0]))
+        np.testing.assert_allclose(sharded[b], np.concatenate(chunks),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_fused_predict_matches_local():
+    """Raw-video fused pipeline partitioned over the mesh == local."""
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_sharded_fused_predict,
+    )
+
+    f = 32
+    t = pipeline.pipeline_timesteps(f)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=8,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    video = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (8, f, 48, 64, 3)).astype(np.float32))
+
+    local = np.asarray(pipeline.extract_and_predict(
+        c3d_params, gaze_params, model, video, compute_dtype=jnp.float32))
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    predict = make_sharded_fused_predict(model, mesh,
+                                         compute_dtype=jnp.float32)
+    sharded = np.asarray(predict(c3d_params, gaze_params, video))
+    assert sharded.shape == (8, t, 49, 49)
+    np.testing.assert_allclose(sharded, local, rtol=1e-4, atol=1e-5)
