@@ -93,6 +93,19 @@ def main(argv: Optional[list[str]] = None) -> int:
     exp.train_dir = args.train_dir
     exp.train_tag = args.train_tag
     exp.model.name = args.model
+
+    if args.dataset != "synthetic":
+        # the reference TRAINING ENTRY overrides the model-class defaults
+        # (batch 7, lr 0.003) for real-data runs: batch 28 ("CRC likes 28"),
+        # lr 1e-4, cadences 100/20/100 (`models/train_gaze.py:74-97`).
+        # CLI flags below still win. Synthetic quick-starts keep the small
+        # model-class defaults.
+        exp.model.batch_size = 28
+        exp.optimizer.initial_learning_rate = 1e-4
+        exp.schedule.steps_per_evaluation = 100
+        exp.schedule.steps_per_validation = 20
+        exp.schedule.steps_per_checkpoint = 100
+
     exp.apply_overrides({
         "model.batch_size": args.batch_size,
         "model.loss_type": args.loss_type,

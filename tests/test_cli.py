@@ -118,6 +118,16 @@ def test_crcxh2_train_and_numpy_protocol_eval(tmp_path):
     ])
     assert rc == 0
 
+    # real datasets get the reference TRAINING-ENTRY defaults
+    # (train_gaze.py:74-97): lr 1e-4 and 100/20/100 cadences; CLI flags
+    # (batch_size=2 here) still win
+    cfg = json.load(open(os.path.join(train_dir, "config.json")))
+    assert cfg["model"]["batch_size"] == 2
+    assert cfg["optimizer"]["initial_learning_rate"] == 1e-4
+    assert cfg["schedule"]["steps_per_validation"] == 20
+    assert cfg["schedule"]["steps_per_evaluation"] == 100
+    assert cfg["schedule"]["steps_per_checkpoint"] == 100
+
     out_dir = str(tmp_path / "eval")
     rc = evaluate_gaze.main([
         "--train_dir", train_dir, "--out_dir", out_dir,
