@@ -76,6 +76,13 @@ class ModelConfig:
     # fused Pallas recurrence kernel (TPU only; auto-falls back to lax.scan
     # on other backends)
     use_pallas: bool = True
+    # rematerialize each recurrence step in the backward pass
+    # (jax.checkpoint on the scan body): recompute gate activations instead
+    # of storing them per step. Measured STRICTLY better on v5e — temp
+    # memory -36%/-33% at T=42/T=105 with no time cost, since the
+    # recomputed state convs fuse into the backward (BENCHMARKS.md
+    # "Long-T memory study") — so it is the default.
+    remat_cells: bool = True
 
 
 @dataclass

@@ -67,7 +67,8 @@ def _run_convgru(cell_params: dict, xs: jax.Array, h0: jax.Array,
         _, ys = pallas_ops.convgru_scan(cell_params, xs, h0,
                                         compute_dtype=cdt)
         return ys
-    _, ys = ConvGRU.scan(cell_params, xs, h0, compute_dtype=cdt)
+    _, ys = ConvGRU.scan(cell_params, xs, h0, compute_dtype=cdt,
+                         remat=cfg.remat_cells and train)
     return ys
 
 

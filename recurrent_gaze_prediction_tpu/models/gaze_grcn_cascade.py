@@ -84,7 +84,8 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
     # bottom recurrence at 7x7
     xs = jnp.transpose(embedded, (1, 0, 2, 3, 4))
     h0 = ConvGRU.zero_state(b, (7, 7), BOTTOM_UNITS)
-    _, ys = ConvGRU.scan(params["bottom_cell"], xs, h0, compute_dtype=cdt)
+    _, ys = ConvGRU.scan(params["bottom_cell"], xs, h0, compute_dtype=cdt,
+                         remat=cfg.remat_cells and train)
 
     # upsample every step at once: [T*B, 7, 7, 256] -> [T*B, 49, 49, 64]
     folded = ys.reshape(t * b, 7, 7, BOTTOM_UNITS)
@@ -94,7 +95,10 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
 
     # top recurrence at 49x49
     g0 = ConvGRU.zero_state(b, (49, 49), TOP_UNITS)
-    _, gs = ConvGRU.scan(params["top_cell"], up_tb, g0, compute_dtype=cdt)
+    # the 49x49-resolution top cell is where remat matters most: its
+    # per-step activations are 49x larger than the bottom cell's
+    _, gs = ConvGRU.scan(params["top_cell"], up_tb, g0, compute_dtype=cdt,
+                         remat=cfg.remat_cells and train)
 
     # per-frame maxout head, batched over T*B
     flat = gs.reshape(t * b, -1)

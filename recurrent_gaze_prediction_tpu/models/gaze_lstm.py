@@ -57,7 +57,8 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
         _, ys = pallas_ops.convlstm_scan(params["cell"], xs, carry0,
                                          compute_dtype=cdt)
     else:
-        _, ys = ConvLSTM.scan(params["cell"], xs, carry0, compute_dtype=cdt)
+        _, ys = ConvLSTM.scan(params["cell"], xs, carry0, compute_dtype=cdt,
+                              remat=cfg.remat_cells and train)
 
     folded = jnp.transpose(ys, (1, 0, 2, 3, 4)).reshape(
         b * t, 7, 7, cfg.rnn_state_size)

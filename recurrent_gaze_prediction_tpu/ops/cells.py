@@ -221,8 +221,10 @@ class ConvLSTM:
     @staticmethod
     def scan(params: dict, x_tbhwc: jax.Array,
              carry0: tuple[jax.Array, jax.Array],
-             compute_dtype=None) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
-        """Input-side gate convs hoisted out of the scan (see ConvGRU.scan)."""
+             compute_dtype=None, remat: bool = False
+             ) -> tuple[tuple[jax.Array, jax.Array], jax.Array]:
+        """Input-side gate convs hoisted out of the scan (see ConvGRU.scan).
+        `remat=True` rematerializes each step in the backward pass."""
         fused = ConvLSTM.fuse(params)
         t, b = x_tbhwc.shape[:2]
         gx_all = conv2d(x_tbhwc.reshape(t * b, *x_tbhwc.shape[2:]),
@@ -234,6 +236,8 @@ class ConvLSTM:
             return ConvLSTM.step_precomputed(fused, carry, gx,
                                              compute_dtype=compute_dtype)
 
+        if remat:
+            body = jax.checkpoint(body)
         return jax.lax.scan(body, carry0, gx_all)
 
 

@@ -237,3 +237,25 @@ def test_predict_video_end_to_end(tmp_path):
         compute_dtype=np.float32)
     assert n_valid_pad == 2  # only 35 real frames -> 2 full windows
     assert maps_pad.shape[0] == 3  # static T for F=48
+
+
+def test_convlstm_scan_remat_grads_match():
+    import jax.numpy as jnp
+    from recurrent_gaze_prediction_tpu.ops.cells import ConvLSTM
+
+    rng = np.random.RandomState(5)
+    params = ConvLSTM.init(jax.random.PRNGKey(0), 6, 4, stddev=0.3)
+    xs = jnp.asarray(rng.randn(5, 2, 7, 7, 6).astype(np.float32))
+    carry0 = ConvLSTM.zero_state(2, (7, 7), 4)
+    tgt = jnp.asarray(rng.randn(5, 2, 7, 7, 4).astype(np.float32))
+
+    def loss(p, remat):
+        _, ys = ConvLSTM.scan(p, xs, carry0, remat=remat)
+        return jnp.sum((ys - tgt) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
