@@ -171,3 +171,48 @@ def test_evaluate_batch_autosizes_auc_capacity():
                                  rng=np.random.RandomState(0))
                     for p, f in zip(pred, fix)])
     np.testing.assert_allclose(dev, ref, atol=2e-3)
+
+
+def test_protocol_delta_on_device_vs_original_scale():
+    """Quantifies the documented split between the two eval protocols
+    (VERDICT r1 item 10): the on-device metrics score at gazemap scale
+    (49x49), the reference's offline protocol resizes pred/gt (bicubic) to
+    the ORIGINAL fixation-map scale (`evaluation_metrics.py:239-272`). On
+    realistic synthetic predictions the per-metric deltas are small —
+    training-time on-device scores are interpretable against offline
+    numbers to roughly +-0.02 (cc/sim/AUC) / +-0.05 (nss). Measured here:
+    cc -0.011, sim -0.002, nss +0.021, AUC_Judd +0.001 (PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recurrent_gaze_prediction_tpu.data.gazemap import (
+        apply_gaussian_filter,
+        resize_onehot_tensor,
+    )
+    from recurrent_gaze_prediction_tpu.eval import metrics_jax, metrics_np
+
+    rng = np.random.RandomState(0)
+    n, oh, ow, gh, gw = 40, 90, 120, 49, 49
+
+    fix_orig = np.zeros((n, oh, ow), np.float64)
+    for i in range(n):
+        ys, xs = rng.randint(0, oh, 5), rng.randint(0, ow, 5)
+        fix_orig[i, ys, xs] = 1
+    fix_map = resize_onehot_tensor(fix_orig, (gh, gw)).astype(np.float64)
+
+    gt = apply_gaussian_filter(fix_map.astype(np.float32), 2.0)
+    gt = gt.astype(np.float64)
+    gt /= gt.max(axis=(1, 2), keepdims=True).clip(1e-9)
+    pred = np.roll(gt, shift=2, axis=2) * 0.9 + 0.1 * rng.rand(n, gh, gw)
+
+    metrics = ("cc", "sim", "nss", "AUC_Judd")
+    on_device = metrics_jax.evaluate_batch(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(fix_map),
+        jax.random.PRNGKey(0), metrics=metrics)
+    rs = np.random.RandomState(0)
+    bounds = {"cc": 0.03, "sim": 0.02, "nss": 0.1, "AUC_Judd": 0.01}
+    for m in metrics:
+        dev = float(np.nanmean(np.asarray(on_device[m])))
+        ref = metrics_np.saliency_score(m, list(pred), list(gt),
+                                        list(fix_orig), rng=rs)
+        assert abs(dev - ref) <= bounds[m], (m, dev, ref)
