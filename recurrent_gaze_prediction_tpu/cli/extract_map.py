@@ -85,7 +85,59 @@ def build_parser() -> argparse.ArgumentParser:
                              "devices (mesh data axis); replaces the "
                              "reference's two-worker --reverse trick at "
                              "pod scale")
+    parser.add_argument("--streaming", action="store_true",
+                        help="carried-state chunked inference: export the "
+                             "FULL clip length with temporal context across "
+                             "chunks, instead of the reference's zero-pad/"
+                             "truncate-to-T protocol (gaze_grcn/gaze_lstm)")
+    parser.add_argument("--chunk_len", default=42, type=int,
+                        help="chunk length for --streaming")
     return parser
+
+
+def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
+    """Carried-state chunked export: no truncation at n_lstm_steps, no
+    zero-state restarts at chunk boundaries (models/streaming.py)."""
+    from ..models import streaming
+
+    if exp.model.name not in ("gaze_grcn", "gaze_lstm"):
+        log.error("--streaming supports gaze_grcn / gaze_lstm (49x49 "
+                  "conv decoders); run config has %s", exp.model.name)
+        return 1
+
+    n_done = n_skipped = 0
+    for clip in clips:
+        out_file = os.path.join(args.out_dir, f"{clip}.gazemap.npy")
+        if not args.overwrite and os.path.exists(out_file):
+            n_skipped += 1
+            continue
+        c3d_file = os.path.join(c3d_root, clip + ".c3d")
+        if not os.path.exists(c3d_file):
+            log.warn("missing c3d for %s, skipping", clip)
+            continue
+        feats = codec.load_c3d_for_model(c3d_file)
+        if exp.model.name == "gaze_lstm":
+            state = streaming.init_lstm_stream_state(1, model.cfg)
+            chunks = []
+            for start in range(0, len(feats), args.chunk_len):
+                chunk = pad_or_clip(feats[start:start + args.chunk_len],
+                                    args.chunk_len)
+                valid = min(args.chunk_len, len(feats) - start)
+                state, maps = streaming.lstm_stream_step(
+                    params, state, jax.numpy.asarray(chunk)[None], model.cfg)
+                chunks.append(np.asarray(maps[0, :valid]))
+            maps = np.concatenate(chunks)
+        else:
+            maps = np.concatenate(list(streaming.stream_video(
+                params, feats, model.cfg, chunk_len=args.chunk_len)))
+        maps = maps.astype(np.float16)
+        np.save(out_file, maps)
+        np.save(os.path.join(args.out_dir, f"{clip}.gazemap7x7.npy"),
+                avg_pool_7x7(maps.astype(np.float32)).astype(np.float16))
+        log.info("saved %s (%d frames, streamed)", clip, len(maps))
+        n_done += 1
+    log.infov("done: %d exported (streaming), %d skipped", n_done, n_skipped)
+    return 0
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -124,6 +176,10 @@ def main(argv: Optional[list[str]] = None) -> int:
         if os.path.isdir(os.path.join(args.clips_root, c)))
     if args.reverse:
         clips = clips[::-1]
+
+    if args.streaming:
+        return export_streaming(args, exp, model, state.params, clips,
+                                c3d_root)
 
     pending, names = [], []
 

@@ -159,3 +159,37 @@ def test_evaluator_clipnames_per_frame():
     assert len(ret["clipnames"]) == len(ret["pred_gazemaps"])
     assert ret["clipnames"][0] == ret["clipnames"][t - 1]
     assert ret["clipnames"][t] != ret["clipnames"][t - 1]
+
+
+def test_extract_map_streaming(tmp_path):
+    """--streaming exports the FULL clip length with carried state, not the
+    reference's truncate-to-n_lstm_steps protocol."""
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn", "--dataset", "synthetic",
+        "--max_steps", "2", "--n_lstm_steps", "4", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+    ])
+    assert rc == 0
+
+    rng = np.random.RandomState(0)
+    clips_root = str(tmp_path / "clips")
+    out_dir = str(tmp_path / "maps")
+    os.makedirs(os.path.join(clips_root, "longclip"))
+    # 10 c3d windows -> longer than n_lstm_steps=4 AND chunk_len=4
+    blobs = rng.rand(10, 1, 512, 2, 7, 7).astype(np.float32)
+    with open(os.path.join(clips_root, "longclip.c3d"), "wb") as f:
+        pickle.dump(blobs, f, protocol=2)
+
+    rc = extract_map.main([
+        "--train_dir", train_dir, "--clips_root", clips_root,
+        "--out_dir", out_dir, "--n_lstm_steps", "4", "--batch_size", "1",
+        "--streaming", "--chunk_len", "4",
+    ])
+    assert rc == 0
+    maps = np.load(os.path.join(out_dir, "longclip.gazemap.npy"))
+    assert maps.shape == (10, 49, 49)  # full length, not clipped to 4
+    assert np.isfinite(maps).all()
+    small = np.load(os.path.join(out_dir, "longclip.gazemap7x7.npy"))
+    assert small.shape == (10, 7, 7)
