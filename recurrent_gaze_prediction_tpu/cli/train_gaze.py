@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_false", default=True,
                         help="disable the fused Pallas recurrence kernels")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--profile_steps", default=0, type=int,
+                        help="capture a device trace of N train steps into "
+                             "{train_dir}/profile (TensorBoard-viewable)")
     return parser
 
 
@@ -136,7 +139,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     writer = MetricWriter(exp.train_dir) if exp.train_dir else None
     log.warn("Start fitting ...")
     state = fit(model, state, tx, data, exp, train_dir=exp.train_dir,
-                metric_writer=writer)
+                metric_writer=writer, profile_steps=args.profile_steps)
 
     if data.test is not None and len(data.test) >= model.cfg.batch_size:
         log.warn("Final test-split evaluation ...")

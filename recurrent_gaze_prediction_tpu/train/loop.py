@@ -41,13 +41,20 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         train_dir: Optional[str] = None,
         metric_writer: Optional[Callable[[int, dict], None]] = None,
         max_eval_instances: int = 50,
-        train_iterator=None) -> TrainState:
+        train_iterator=None,
+        profile_steps: int = 0,
+        profile_start: int = 3) -> TrainState:
     """Train until `exp.schedule.max_steps`. Returns the final state.
 
     `train_iterator` (optional) supplies training batches instead of
     `data.train.next_batch` — e.g. a grain DataLoader iterator
     (`data/grain_pipeline.make_dataloader`) or a device prefetcher
     (`data/prefetch.prefetch_batches`).
+
+    `profile_steps > 0` captures a TensorBoard-viewable device trace of
+    that many train steps into `{train_dir}/profile`, starting at
+    `profile_start` (after the compile step) — the reference's only
+    instrumentation was wall-clock logs (SURVEY.md section 5).
     """
     sched_cfg = exp.schedule
     batch_size = model.cfg.batch_size
@@ -91,7 +98,15 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
 
     n_train = max(len(data.train), 1) if data.train is not None else 1
     step = int(state.step)
+    profile_active = False
     while step < sched_cfg.max_steps and not stop_requested["flag"]:
+        if (profile_steps and train_dir is not None and not profile_active
+                and step + 1 == profile_start):
+            jax.profiler.start_trace(f"{train_dir}/profile")
+            profile_active = True
+            log.info("profiler: tracing steps %d..%d -> %s/profile",
+                     profile_start, profile_start + profile_steps - 1,
+                     train_dir)
         t0 = time.time()
         if train_iterator is not None:
             raw = next(train_iterator, None)
@@ -105,6 +120,11 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         state, metrics = train_step(state, batch, rng)
         step = int(metrics["step"])
         t1 = time.time()
+
+        if profile_active and step >= profile_start + profile_steps - 1:
+            float(metrics["loss"])  # sync the traced steps
+            jax.profiler.stop_trace()
+            profile_active = False
 
         if step % sched_cfg.steps_per_logprint == 0:
             loss = float(metrics["loss"])
@@ -154,6 +174,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
                 metric_writer(step, {f"evaluation/{m}": s
                                      for m, s in scores.items()})
 
+    if profile_active:  # loop ended inside the trace window
+        jax.profiler.stop_trace()
     if ckpt is not None:
         ckpt.save(state, wait=True)
         ckpt.close()

@@ -181,3 +181,23 @@ def test_pretrained_shallownet_grafting(tmp_path):
     # other subtrees untouched
     np.testing.assert_array_equal(np.asarray(params["proj_out_W"]),
                                   np.asarray(grafted["proj_out_W"]))
+
+
+def test_fit_profile_steps_captures_trace(tmp_path):
+    """--profile_steps captures a TensorBoard-viewable trace of live train
+    steps into {train_dir}/profile."""
+    import glob
+
+    from recurrent_gaze_prediction_tpu.cli import train_gaze
+
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn77", "--dataset", "synthetic",
+        "--max_steps", "6", "--n_lstm_steps", "4", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir, "--profile_steps", "2",
+    ])
+    assert rc == 0
+    traces = glob.glob(os.path.join(train_dir, "profile", "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, "no xplane trace captured"
