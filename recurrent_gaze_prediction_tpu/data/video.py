@@ -127,18 +127,35 @@ def apply_attention(frames: np.ndarray, gazemaps: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_frame_folder(folder: str, image_hw: Optional[tuple[int, int]] = None
-                      ) -> np.ndarray:
-    """Read a dumped frame folder back into [N, H, W, 3] uint8."""
-    from PIL import Image
+def load_frame_folder(folder: str, image_hw: Optional[tuple[int, int]] = None,
+                      backend: str = "pil") -> np.ndarray:
+    """Read a dumped frame folder back into [N, H, W, 3] uint8.
 
+    backend="native" uses the C++ threaded libjpeg batch decoder
+    (`native/framedec.cc`; falls back to PIL when the library or a
+    non-JPEG file is present). Decode-only output is bit-identical to
+    PIL; native resize is half-pixel-center bilinear (within +-1 of
+    PIL.BILINEAR on photographic content).
+    """
     files = sorted(
         os.path.join(folder, f) for f in os.listdir(folder)
         if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not files:
+        return np.zeros((0, 0, 0, 3), np.uint8)
+
+    if backend == "native" and image_hw is not None and \
+            all(f.lower().endswith((".jpg", ".jpeg")) for f in files):
+        from .. import native
+
+        if native.framedec_available():
+            return native.decode_jpeg_batch(files, image_hw)
+
+    from PIL import Image
+
     frames = []
     for path in files:
         img = Image.open(path).convert("RGB")
         if image_hw is not None and img.size != (image_hw[1], image_hw[0]):
             img = img.resize((image_hw[1], image_hw[0]), Image.BILINEAR)
         frames.append(np.asarray(img))
-    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+    return np.stack(frames)

@@ -1,10 +1,10 @@
-"""ctypes bindings for the native blob codec (libblobio.so).
+"""ctypes bindings for the native libraries (libblobio.so, libframedec.so).
 
 Build with `make -C recurrent_gaze_prediction_tpu/native`; at import the
-library is compiled on demand if a toolchain is present, and every entry
-point falls back to the NumPy codec (`data/codec.py`) when the shared
-library is unavailable, so the framework never hard-depends on the native
-build.
+libraries are compiled on demand if a toolchain is present, and every
+entry point falls back to a pure-Python path (`data/codec.py` / PIL) when
+a shared library is unavailable, so the framework never hard-depends on
+the native build.
 """
 
 from __future__ import annotations
@@ -103,6 +103,71 @@ def write_blob(path: str, blob: np.ndarray) -> None:
                           blob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc != 0:
         raise IOError(f"blobio_write({path}) -> {rc}")
+
+
+# --------------------------------------------------------- frame decoding
+
+_framedec: Optional[ctypes.CDLL] = None
+_FRAMEDEC_PATH = os.path.join(_DIR, "libframedec.so")
+
+
+def get_framedec() -> Optional[ctypes.CDLL]:
+    global _framedec
+    if _framedec is not None:
+        return _framedec
+    if not os.path.exists(_FRAMEDEC_PATH):
+        _try_build()
+    if not os.path.exists(_FRAMEDEC_PATH):
+        return None
+    lib = ctypes.CDLL(_FRAMEDEC_PATH)
+    lib.framedec_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.framedec_decode_batch.restype = ctypes.c_int
+    _framedec = lib
+    return _framedec
+
+
+def framedec_available() -> bool:
+    return get_framedec() is not None
+
+
+def decode_jpeg_batch(paths: Sequence[str], out_hw: tuple[int, int],
+                      n_threads: int = 8) -> np.ndarray:
+    """Threaded native JPEG batch decode (+ bilinear resize) ->
+    [N, H, W, 3] uint8. Decode-only (source size == out size) is
+    bit-identical to PIL (same libjpeg); resized output uses
+    half-pixel-center bilinear (cv2 semantics), which differs slightly
+    from PIL's antialiased BILINEAR. Raises IOError naming the first
+    failing files.
+    """
+    lib = get_framedec()
+    if lib is None:
+        from PIL import Image
+
+        frames = []
+        for p in paths:
+            img = Image.open(p).convert("RGB")
+            if img.size != (out_hw[1], out_hw[0]):
+                img = img.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+            frames.append(np.asarray(img))
+        return np.stack(frames)
+
+    n = len(paths)
+    out = np.empty((n, out_hw[0], out_hw[1], 3), np.uint8)
+    statuses = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.framedec_decode_batch(
+        c_paths, n, out_hw[0], out_hw[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    if failures:
+        bad = [paths[i] for i in np.nonzero(statuses)[0]]
+        raise IOError(f"decode_jpeg_batch: {failures} failures, "
+                      f"e.g. {bad[:3]}")
+    return out
 
 
 def read_blob_batch(paths: Sequence[str], blob_shape: Sequence[int],
