@@ -193,3 +193,61 @@ def test_extract_map_streaming(tmp_path):
     assert np.isfinite(maps).all()
     small = np.load(os.path.join(out_dir, "longclip.gazemap7x7.npy"))
     assert small.shape == (10, 7, 7)
+
+
+def test_pretrain_then_graft_into_gaze_training(tmp_path):
+    """The reference's two-stage workflow end to end through the CLIs:
+    SALICON-style ShallowNet pretraining -> graft into a gaze model
+    (--shallownet_pretrain) -> gaze training with the grafted subtree
+    FROZEN (lr=0 group, `gaze_rnn.py:459`)."""
+    import jax
+    import numpy as np
+
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.train import (
+        Checkpointer,
+        create_train_state,
+        load_params,
+    )
+
+    pretrained_path = str(tmp_path / "shallownet_params")
+    rc = pretrain_shallownet.main([
+        "--dataset", "synthetic", "--max_steps", "2", "--batch_size", "8",
+        "--out", pretrained_path,
+    ])
+    assert rc == 0
+
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_rnn", "--dataset", "synthetic",
+        "--max_steps", "3", "--n_lstm_steps", "4", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+        "--shallownet_pretrain", pretrained_path,
+    ])
+    assert rc == 0
+
+    # restore the trained state and check the grafted subtree is (a) the
+    # pretrained weights and (b) untouched by 3 train steps (frozen group)
+    exp = Checkpointer.load_config(train_dir)
+    model = registry.create_model(exp.model.name, exp.model)
+    state, _ = create_train_state(model, exp.optimizer, jax.random.PRNGKey(0))
+    restored = Checkpointer(train_dir).restore_latest(
+        jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state))
+    assert restored is not None and int(restored.step) == 3
+    pretrained = load_params(pretrained_path,
+                             model.init(jax.random.PRNGKey(1))["shallownet"])
+    for key, val in pretrained.items():
+        np.testing.assert_array_equal(
+            np.asarray(val), np.asarray(restored.params["shallownet"][key]),
+            err_msg=f"shallownet/{key} changed despite frozen group")
+    # and the non-frozen groups DID train
+    fresh = model.init(jax.random.PRNGKey(0))
+    r_leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in restored.params.items() if k != "shallownet"})
+    f_leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in fresh.items() if k != "shallownet"})
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(r_leaves, f_leaves))
+    assert moved
