@@ -1,0 +1,23 @@
+"""Ahead-of-time exported serving bundles (jax.export / StableHLO)."""
+
+from .export import (
+    ServingBundle,
+    export_fused_predict,
+    export_predict,
+    export_stream_step,
+    flatten_params,
+    load_bundle,
+    save_bundle,
+    unflatten_params,
+)
+
+__all__ = [
+    "ServingBundle",
+    "export_predict",
+    "export_fused_predict",
+    "export_stream_step",
+    "save_bundle",
+    "load_bundle",
+    "flatten_params",
+    "unflatten_params",
+]

@@ -1,0 +1,300 @@
+"""Serving bundles: ahead-of-time exported inference programs.
+
+The reference's only "serving" story is re-running a Python process that
+rebuilds the TF graph from model source and restores a Saver checkpoint
+(`/root/reference/models/extract_map.py:43-91`) — inference requires the
+full training codebase. This module exports the inference programs to
+self-describing on-disk bundles via `jax.export` (StableHLO):
+
+  * `predict.jaxexp`   — features -> maps      (`extract_map.py` path)
+  * `fused.jaxexp`     — raw video -> maps     (pipeline path, optional)
+  * `stream.jaxexp`    — carried-state chunk step (streaming, optional)
+  * `params.npz` / `c3d_params.npz` — weights as flat path->array maps
+  * `manifest.json`    — shapes, dtypes, model config
+
+A loaded bundle runs WITHOUT the model zoo: the serialized artifact
+contains the lowered program, so serving hosts need only jax + this
+loader. Exports are multi-platform (cpu+tpu by default) and use the
+portable XLA recurrence path (the Pallas kernel is a TPU-only custom
+call, so it is disabled for the exported trace; XLA's fused scan is the
+documented fallback at these shapes).
+
+Batch symbolic dimension: the batch axis is exported symbolically
+(`jax.export.symbolic_args_specs`) so one artifact serves any batch size;
+sequence length T stays static (the recurrence scan length is a
+compile-time constant, as in the reference's unrolled graphs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..config import ModelConfig
+from ..models.common import GazeModel
+
+_MANIFEST = "manifest.json"
+_SEP = "/"  # path separator inside npz keys
+
+
+# ----------------------------------------------------------- params codec
+
+def flatten_params(params: Any) -> dict[str, np.ndarray]:
+    """Nested param dicts -> {"a/b/c": array} for npz storage."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for path, leaf in flat:
+        key = _SEP.join(
+            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    """Inverse of `flatten_params` for dict-of-dict pytrees."""
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return root
+
+
+def _save_npz(path: str, params: Any) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def _load_npz(path: str) -> dict:
+    with np.load(path) as data:
+        return unflatten_params({k: data[k] for k in data.files})
+
+
+# ------------------------------------------------------------- exporting
+
+def _portable_model(model: GazeModel) -> GazeModel:
+    """Clone with the TPU-only Pallas custom call disabled so the exported
+    StableHLO runs on every requested platform."""
+    if not model.cfg.use_pallas:
+        return model
+    from .. import registry
+
+    cfg = dataclasses.replace(model.cfg, use_pallas=False)
+    return registry.create_model(cfg.name, cfg)
+
+
+def _export_fn(fn, args_shapes, platforms, symbolic_batch: bool):
+    """Export `fn` over ShapeDtypeStructs, optionally with a symbolic
+    leading batch dim on every non-param argument."""
+    if symbolic_batch:
+        # every entry in args_shapes whose marker is True gets batch="b"
+        specs = []
+        shape_polys = jax_export.symbolic_shape("b")
+        (b,) = shape_polys
+        for spec, batched in args_shapes:
+            if batched:
+                spec = jax.tree_util.tree_map(
+                    lambda s: jax.ShapeDtypeStruct((b,) + s.shape[1:],
+                                                   s.dtype), spec)
+            specs.append(spec)
+    else:
+        specs = [spec for spec, _ in args_shapes]
+    return jax_export.export(jax.jit(fn), platforms=list(platforms))(*specs)
+
+
+def export_predict(model: GazeModel, *, batch_size: int = 1,
+                   platforms=("cpu", "tpu"),
+                   symbolic_batch: bool = True) -> jax_export.Exported:
+    """Export `predict(params, frames, c3d) -> maps` (features-fed path)."""
+    model = _portable_model(model)
+    cfg = model.cfg
+    t = cfg.n_lstm_steps
+    params = jax.eval_shape(model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    frames = jax.ShapeDtypeStruct(
+        (batch_size, t, cfg.image_height, cfg.image_width, 3), jnp.float32)
+    c3d = jax.ShapeDtypeStruct((batch_size, t, cfg.dim_feature, 7, 7),
+                               jnp.float32)
+    return _export_fn(model.predict,
+                      [(params, False), (frames, True), (c3d, True)],
+                      platforms, symbolic_batch)
+
+
+def export_fused_predict(model: GazeModel, *, num_frames: int,
+                         batch_size: int = 1, platforms=("cpu", "tpu"),
+                         compute_dtype=jnp.float32,
+                         video_hw: tuple[int, int] = (128, 171),
+                         symbolic_batch: bool = True) -> jax_export.Exported:
+    """Export the fused raw-video pipeline
+    `fn(c3d_params, gaze_params, video) -> maps` for a fixed clip length.
+    compute_dtype defaults to fp32 so the artifact is platform-portable
+    (bf16 convs are TPU-tuned; pass bfloat16 for TPU-only bundles).
+    video_hw: raw frame size; the reference's C3D protocol feeds 128x171
+    (`extract_C3D_features.py:204-216`)."""
+    from ..models import c3d as c3d_model
+    from ..models.pipeline import extract_and_predict
+
+    model = _portable_model(model)
+    c3d_params = jax.eval_shape(
+        c3d_model.init_params, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    gaze_params = jax.eval_shape(
+        model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    video = jax.ShapeDtypeStruct((batch_size, num_frames) + tuple(video_hw)
+                                 + (3,), jnp.float32)
+
+    def fn(cp, gp, v):
+        return extract_and_predict(cp, gp, model, v,
+                                   compute_dtype=compute_dtype)
+
+    return _export_fn(fn, [(c3d_params, False), (gaze_params, False),
+                           (video, True)], platforms, symbolic_batch)
+
+
+def export_stream_step(model: GazeModel, *, chunk_len: int,
+                       batch_size: int = 1, platforms=("cpu", "tpu"),
+                       symbolic_batch: bool = True) -> jax_export.Exported:
+    """Export the carried-state streaming step
+    `fn(params, state, c3d_chunk) -> (state, maps)` (long-video serving)."""
+    from ..models.streaming import grcn_stream_step
+
+    model = _portable_model(model)
+    cfg = model.cfg
+    params = jax.eval_shape(model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    state = jax.ShapeDtypeStruct((batch_size, 7, 7, cfg.rnn_state_size),
+                                 jnp.float32)
+    chunk = jax.ShapeDtypeStruct((batch_size, chunk_len, cfg.dim_feature,
+                                  7, 7), jnp.float32)
+
+    def fn(p, s, c):
+        return grcn_stream_step(p, s, c, cfg)
+
+    return _export_fn(fn, [(params, False), (state, True), (chunk, True)],
+                      platforms, symbolic_batch)
+
+
+# --------------------------------------------------------------- bundles
+
+def save_bundle(path: str, model: GazeModel, gaze_params, *,
+                c3d_params=None, num_frames: Optional[int] = None,
+                stream_chunk_len: Optional[int] = None,
+                platforms=("cpu", "tpu"),
+                video_hw: tuple[int, int] = (128, 171),
+                symbolic_batch: bool = True) -> None:
+    """Write a serving bundle directory.
+
+    Always exports the features->maps predict program; additionally exports
+    the fused raw-video program when `c3d_params` + `num_frames` are given,
+    and the streaming chunk step when `stream_chunk_len` is given (only for
+    models with a ConvGRU state, i.e. gaze_grcn family).
+    """
+    os.makedirs(path, exist_ok=True)
+    manifest: dict[str, Any] = {
+        "format_version": 1,
+        "model": dataclasses.asdict(model.cfg),
+        "platforms": list(platforms),
+        "symbolic_batch": bool(symbolic_batch),
+        "programs": {},
+    }
+
+    exp = export_predict(model, platforms=platforms,
+                         symbolic_batch=symbolic_batch)
+    with open(os.path.join(path, "predict.jaxexp"), "wb") as f:
+        f.write(exp.serialize())
+    _save_npz(os.path.join(path, "params.npz"), gaze_params)
+    t = model.cfg.n_lstm_steps
+    manifest["programs"]["predict"] = {
+        "file": "predict.jaxexp",
+        "inputs": "params, frames [B,T,H,W,3] f32 in [0,1], "
+                  "c3d [B,T,1024,7,7] f32",
+        "t": t,
+    }
+
+    if c3d_params is not None and num_frames is not None:
+        exp_f = export_fused_predict(model, num_frames=num_frames,
+                                     platforms=platforms,
+                                     video_hw=video_hw,
+                                     symbolic_batch=symbolic_batch)
+        with open(os.path.join(path, "fused.jaxexp"), "wb") as f:
+            f.write(exp_f.serialize())
+        _save_npz(os.path.join(path, "c3d_params.npz"), c3d_params)
+        manifest["programs"]["fused"] = {
+            "file": "fused.jaxexp",
+            "inputs": "c3d_params, params, video [B,F,H,W,3] f32 0..255",
+            "num_frames": num_frames,
+            "video_hw": list(video_hw),
+        }
+
+    if stream_chunk_len is not None:
+        exp_s = export_stream_step(model, chunk_len=stream_chunk_len,
+                                   platforms=platforms,
+                                   symbolic_batch=symbolic_batch)
+        with open(os.path.join(path, "stream.jaxexp"), "wb") as f:
+            f.write(exp_s.serialize())
+        manifest["programs"]["stream"] = {
+            "file": "stream.jaxexp",
+            "inputs": "params, state [B,7,7,U] f32, chunk [B,Tc,1024,7,7] f32",
+            "chunk_len": stream_chunk_len,
+            "state_size": model.cfg.rnn_state_size,
+        }
+
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+class ServingBundle:
+    """A loaded serving bundle: callable inference programs + weights.
+
+    Does NOT import the model zoo — only deserialized StableHLO programs.
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.model_config = ModelConfig(**self.manifest["model"])
+        self.params = _load_npz(os.path.join(path, "params.npz"))
+        self._programs: dict[str, jax_export.Exported] = {}
+        for name, meta in self.manifest["programs"].items():
+            with open(os.path.join(path, meta["file"]), "rb") as f:
+                self._programs[name] = jax_export.deserialize(f.read())
+        self.c3d_params = None
+        c3d_path = os.path.join(path, "c3d_params.npz")
+        if os.path.exists(c3d_path):
+            self.c3d_params = _load_npz(c3d_path)
+
+    @property
+    def programs(self) -> list[str]:
+        return sorted(self._programs)
+
+    def predict(self, frames, c3d):
+        """[B,T,H,W,3] frames in [0,1] + [B,T,1024,7,7] features -> maps."""
+        return self._programs["predict"].call(self.params, frames, c3d)
+
+    def predict_fused(self, video):
+        """[B,F,128,171,3] raw pixels 0..255 -> [B,T,49,49] maps."""
+        if "fused" not in self._programs:
+            raise KeyError("bundle has no fused program "
+                           "(saved without c3d_params/num_frames)")
+        return self._programs["fused"].call(self.c3d_params, self.params,
+                                            video)
+
+    def stream_step(self, state, c3d_chunk):
+        """Carried-state chunk step -> (new_state, chunk maps)."""
+        if "stream" not in self._programs:
+            raise KeyError("bundle has no stream program")
+        return self._programs["stream"].call(self.params, state, c3d_chunk)
+
+    def initial_stream_state(self, batch_size: int):
+        return jnp.zeros((batch_size, 7, 7, self.model_config.rnn_state_size),
+                         jnp.float32)
+
+
+def load_bundle(path: str) -> ServingBundle:
+    return ServingBundle(path)

@@ -1,0 +1,135 @@
+"""Serving bundles: jax.export round-trips, symbolic batch, fused/stream
+programs. The loaded bundle must reproduce the live model bit-for-bit —
+it is the SAME lowered program, serialized."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.serving import (
+    flatten_params,
+    load_bundle,
+    save_bundle,
+    unflatten_params,
+)
+
+T = 4
+
+
+@pytest.fixture(scope="module")
+def small_grcn():
+    model = registry.create_model("gaze_grcn", n_lstm_steps=T, batch_size=2,
+                                  compute_dtype="float32")
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _batch(b, t, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = rng.rand(b, t, 98, 98, 3).astype(np.float32)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    return jnp.asarray(frames), jnp.asarray(c3d)
+
+
+def test_flatten_unflatten_roundtrip(small_grcn):
+    _, params = small_grcn
+    flat = flatten_params(params)
+    assert all("/" in k or isinstance(v, np.ndarray)
+               for k, v in flat.items())
+    rebuilt = unflatten_params(flat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        params, rebuilt)
+
+
+def test_bundle_predict_matches_live_model(tmp_path, small_grcn):
+    model, params = small_grcn
+    save_bundle(str(tmp_path / "bundle"), model, params)
+    bundle = load_bundle(str(tmp_path / "bundle"))
+    assert bundle.programs == ["predict"]
+    assert bundle.model_config.n_lstm_steps == T
+
+    frames, c3d = _batch(2, T)
+    got = np.asarray(bundle.predict(frames, c3d))
+    want = np.asarray(model.predict(params, frames, c3d))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_symbolic_batch_serves_any_batch_size(tmp_path, small_grcn):
+    model, params = small_grcn
+    save_bundle(str(tmp_path / "bundle"), model, params)
+    bundle = load_bundle(str(tmp_path / "bundle"))
+    for b in (1, 3):
+        frames, c3d = _batch(b, T, seed=b)
+        maps = np.asarray(bundle.predict(frames, c3d))
+        assert maps.shape == (b, T, 49, 49)
+        assert np.isfinite(maps).all()
+
+
+def test_export_serving_cli(tmp_path):
+    """train (CLI) -> export bundle (CLI) -> load -> serve."""
+    from recurrent_gaze_prediction_tpu.cli import export_serving, train_gaze
+
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn77", "--dataset", "synthetic",
+        "--max_steps", "2", "--n_lstm_steps", "4", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+    ])
+    assert rc == 0
+    out_dir = str(tmp_path / "serving")
+    rc = export_serving.main([
+        "--train_dir", train_dir, "--out_dir", out_dir,
+        "--platforms", "cpu",
+    ])
+    assert rc == 0
+
+    bundle = load_bundle(out_dir)
+    assert bundle.model_config.name == "gaze_grcn77"
+    frames, c3d = _batch(2, 4)
+    maps = np.asarray(bundle.predict(frames, c3d))
+    assert maps.shape == (2, 4, 7, 7)
+    assert np.isfinite(maps).all()
+
+
+def test_fused_and_stream_programs(tmp_path, small_grcn):
+    from recurrent_gaze_prediction_tpu.models import c3d as c3d_model
+    from recurrent_gaze_prediction_tpu.models.pipeline import (
+        extract_and_predict,
+    )
+    from recurrent_gaze_prediction_tpu.models.streaming import (
+        grcn_stream_step,
+    )
+
+    model, params = small_grcn
+    c3d_params = c3d_model.init_params(jax.random.PRNGKey(1))
+    f, hw = 32, (48, 64)
+    save_bundle(str(tmp_path / "bundle"), model, params,
+                c3d_params=c3d_params, num_frames=f, video_hw=hw,
+                stream_chunk_len=2)
+    bundle = load_bundle(str(tmp_path / "bundle"))
+    assert bundle.programs == ["fused", "predict", "stream"]
+
+    video = jnp.asarray(np.random.RandomState(2).randint(
+        0, 255, (1, f) + hw + (3,)).astype(np.float32))
+    got = np.asarray(bundle.predict_fused(video))
+    want = np.asarray(extract_and_predict(
+        c3d_params, params, model, video, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    state = bundle.initial_stream_state(1)
+    chunk = jnp.asarray(
+        np.random.RandomState(3).rand(1, 2, 1024, 7, 7).astype(np.float32))
+    s1, m1 = bundle.stream_step(state, chunk)
+    cfg = dataclasses.replace(model.cfg, use_pallas=False)
+    s1_ref, m1_ref = grcn_stream_step(params, state, chunk, cfg)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m1_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref),
+                               rtol=1e-6, atol=1e-6)
+    assert m1.shape == (1, 2, 49, 49)
