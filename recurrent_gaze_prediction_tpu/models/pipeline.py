@@ -40,7 +40,9 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                         compute_dtype=jnp.bfloat16,
                         logits: bool = False,
                         train: bool = False,
-                        rng: Optional[jax.Array] = None) -> jax.Array:
+                        rng: Optional[jax.Array] = None,
+                        window_constraint=None,
+                        stream_constraint=None) -> jax.Array:
     """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
 
     F is static; T = pipeline_timesteps(F). Jit this (optionally with the
@@ -48,6 +50,13 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     applies the gaze model's dropout (driven by `rng`); the C3D extractor
     runs inference-mode either way (its dropout sits in the unused fc
     layers, `extract_C3D_features.py:474-520`).
+
+    Sharding hooks (used by `parallel/temporal.py` to shard the WINDOW axis
+    of a single long video over the mesh): `window_constraint` is applied to
+    the folded [B*W, 16, H, W, 3] clip batch before C3D so the 3-D convs
+    run window-sharded; `stream_constraint` is applied to both recurrence
+    inputs (features and subsampled frames) to gather them before the
+    sequential scan. Both default to no-ops.
     """
     b, f = video_frames.shape[:2]
     t = pipeline_timesteps(f)
@@ -60,16 +69,22 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     windows = video_frames[:, :n_windows * 16].reshape(
         b, n_windows, 16, *video_frames.shape[2:])
     clips = windows.reshape(b * n_windows, 16, *video_frames.shape[2:])
+    if window_constraint is not None:
+        clips = window_constraint(clips)
     clips = c3d_model.preprocess_frames(clips, mean_cube=mean_cube)
     feats = c3d_model.apply(c3d_params, clips, feature_layer="conv5b",
                             compute_dtype=compute_dtype)
     feats = c3d_model.conv5b_to_rgp(feats)          # [B*W, 1024, 7, 7]
     feats = feats.reshape(b, n_windows, 1024, 7, 7)[:, :t]
+    if stream_constraint is not None:
+        feats = stream_constraint(feats)
 
     # --- frame stream: [15::5] subsample, resize to 98x98, [0, 1] scale
     sub = video_frames[:, 15::5][:, :t]
     sub = jax.image.resize(sub.astype(jnp.float32),
                            (b, t, 98, 98, 3), method="bilinear") / 255.0
+    if stream_constraint is not None:
+        sub = stream_constraint(sub)
 
     if logits:
         return gaze_model.apply(gaze_params, sub, feats, train=train,

@@ -17,6 +17,10 @@ from .sharding import (
     make_sharded_train_step,
     place_state,
 )
+from .temporal import (
+    make_temporal_sharded_extract,
+    make_temporal_sharded_fused_predict,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -34,4 +38,6 @@ __all__ = [
     "make_sharded_predict",
     "make_sharded_stream_fn",
     "make_sharded_fused_predict",
+    "make_temporal_sharded_extract",
+    "make_temporal_sharded_fused_predict",
 ]

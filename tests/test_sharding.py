@@ -206,3 +206,68 @@ def test_sharded_fused_predict_matches_local():
     sharded = np.asarray(predict(c3d_params, gaze_params, video))
     assert sharded.shape == (8, t, 49, 49)
     np.testing.assert_allclose(sharded, local, rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_sharded_fused_predict_single_stream():
+    """ONE long video with its window axis sharded over 8 devices must
+    reproduce the unsharded fused pipeline (C3D window-parallel, features
+    all-gathered, recurrence replicated)."""
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_temporal_sharded_fused_predict,
+    )
+
+    f = 8 * 16  # 8 windows, one per device
+    t = pipeline.pipeline_timesteps(f)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=1,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    video = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (1, f, 48, 64, 3)).astype(np.float32))
+
+    local = np.asarray(pipeline.extract_and_predict(
+        c3d_params, gaze_params, model, video, compute_dtype=jnp.float32))
+
+    mesh = make_mesh(data_parallel=8)
+    predict = make_temporal_sharded_fused_predict(
+        model, mesh, compute_dtype=jnp.float32)
+    sharded = np.asarray(predict(c3d_params, gaze_params, video))
+    assert sharded.shape == (1, t, 49, 49)
+    np.testing.assert_allclose(sharded, local, rtol=1e-4, atol=1e-5)
+
+    # window count not divisible by the mesh -> clear error
+    bad = jnp.zeros((1, 7 * 16, 48, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        predict(c3d_params, gaze_params, bad)
+
+
+def test_temporal_sharded_extract_keeps_features_sharded():
+    """The extract-only path leaves conv5b features window-sharded on the
+    mesh (for feeding sharded streaming) and matches the local extractor."""
+    from jax.sharding import PartitionSpec as P
+
+    from recurrent_gaze_prediction_tpu.models import c3d
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_temporal_sharded_extract,
+    )
+
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    video = jnp.asarray(np.random.RandomState(1).randint(
+        0, 255, (1, 8 * 16, 48, 64, 3)).astype(np.float32))
+
+    mesh = make_mesh(data_parallel=8)
+    extract = make_temporal_sharded_extract(mesh,
+                                            compute_dtype=jnp.float32)
+    feats = extract(c3d_params, video)
+    assert feats.shape == (1, 8, 1024, 7, 7)
+    spec = feats.sharding.spec
+    assert tuple(spec)[:2] == (None, DATA_AXIS), spec
+
+    clips = video.reshape(8, 16, 48, 64, 3)
+    ref = c3d.apply(c3d_params, c3d.preprocess_frames(clips),
+                    feature_layer="conv5b", compute_dtype=jnp.float32)
+    ref = c3d.conv5b_to_rgp(ref).reshape(1, 8, 1024, 7, 7)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
