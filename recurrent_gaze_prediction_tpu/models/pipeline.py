@@ -42,7 +42,8 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                         train: bool = False,
                         rng: Optional[jax.Array] = None,
                         window_constraint=None,
-                        stream_constraint=None) -> jax.Array:
+                        stream_constraint=None,
+                        c3d_forward=None) -> jax.Array:
     """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
 
     F is static; T = pipeline_timesteps(F). Jit this (optionally with the
@@ -57,6 +58,10 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     run window-sharded; `stream_constraint` is applied to both recurrence
     inputs (features and subsampled frames) to gather them before the
     sequential scan. Both default to no-ops.
+
+    `c3d_forward(c3d_params, clips) -> [N, 2, 7, 7, 512]` overrides the
+    feature extractor (e.g. `models/quant.make_int8_c3d_forward` for the
+    int8 serving path); defaults to the bf16/fp32 `c3d.apply` tower.
     """
     b, f = video_frames.shape[:2]
     t = pipeline_timesteps(f)
@@ -72,8 +77,11 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
     if window_constraint is not None:
         clips = window_constraint(clips)
     clips = c3d_model.preprocess_frames(clips, mean_cube=mean_cube)
-    feats = c3d_model.apply(c3d_params, clips, feature_layer="conv5b",
-                            compute_dtype=compute_dtype)
+    if c3d_forward is None:
+        feats = c3d_model.apply(c3d_params, clips, feature_layer="conv5b",
+                                compute_dtype=compute_dtype)
+    else:
+        feats = c3d_forward(c3d_params, clips)
     feats = c3d_model.conv5b_to_rgp(feats)          # [B*W, 1024, 7, 7]
     feats = feats.reshape(b, n_windows, 1024, 7, 7)[:, :t]
     if stream_constraint is not None:
