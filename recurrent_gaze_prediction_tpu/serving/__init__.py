@@ -1,5 +1,6 @@
-"""Ahead-of-time exported serving bundles (jax.export / StableHLO)."""
+"""Serving: AOT-exported bundles (jax.export / StableHLO) + micro-batching."""
 
+from .batcher import DynamicBatcher
 from .export import (
     ServingBundle,
     export_fused_predict,
@@ -12,6 +13,7 @@ from .export import (
 )
 
 __all__ = [
+    "DynamicBatcher",
     "ServingBundle",
     "export_predict",
     "export_fused_predict",

@@ -97,6 +97,45 @@ def test_export_serving_cli(tmp_path):
     assert np.isfinite(maps).all()
 
 
+def test_dynamic_batcher_coalesces_and_matches(small_grcn):
+    """Concurrent single-clip submissions are coalesced into few device
+    calls and every caller gets exactly its own clip's maps back."""
+    from recurrent_gaze_prediction_tpu.serving import DynamicBatcher
+
+    model, params = small_grcn
+    jitted = jax.jit(model.predict)
+
+    def predict(frames, c3d):
+        return jitted(params, frames, c3d)
+
+    n = 12
+    frames, c3d = _batch(n, T, seed=7)
+    want = np.asarray(predict(frames, c3d))
+
+    with DynamicBatcher(predict, max_batch=8, max_wait_ms=50.0) as batcher:
+        futures = [batcher.submit(frames[i], c3d[i]) for i in range(n)]
+        got = [f.result(timeout=120) for f in futures]
+        calls, requests = batcher.calls, batcher.requests
+
+    assert requests == n
+    assert calls < n  # actually coalesced, not one call per request
+    for i in range(n):
+        assert got[i].shape == (T, 49, 49)
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_batcher_propagates_errors():
+    from recurrent_gaze_prediction_tpu.serving import DynamicBatcher
+
+    def broken(x):
+        raise RuntimeError("boom")
+
+    with DynamicBatcher(broken, max_batch=4, max_wait_ms=1.0) as batcher:
+        fut = batcher.submit(np.zeros((2, 2), np.float32))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=30)
+
+
 def test_fused_and_stream_programs(tmp_path, small_grcn):
     from recurrent_gaze_prediction_tpu.models import c3d as c3d_model
     from recurrent_gaze_prediction_tpu.models.pipeline import (
