@@ -2,6 +2,8 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_spec,
+    global_batch_from_host_local,
+    host_local_slice,
     make_hybrid_mesh,
     make_mesh,
     mesh_from_config,
@@ -36,6 +38,8 @@ __all__ = [
     "place_state",
     "make_sharded_train_step",
     "make_sharded_predict",
+    "host_local_slice",
+    "global_batch_from_host_local",
     "make_sharded_stream_fn",
     "make_sharded_fused_predict",
     "make_temporal_sharded_extract",
