@@ -27,6 +27,9 @@ import numpy as np
 
 
 def main() -> None:
+    from recurrent_gaze_prediction_tpu.utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # make JAX_PLATFORMS=cpu actually stick
     out_root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="rgp_eval_walkthrough_")
     train_dir = os.path.join(out_root, "run")

@@ -28,6 +28,9 @@ from recurrent_gaze_prediction_tpu.train import (
 
 
 def main() -> None:
+    from recurrent_gaze_prediction_tpu.utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # make JAX_PLATFORMS=cpu actually stick
     # 1. config + model (the flagship RGP model, small for the demo)
     exp = ExperimentConfig()
     exp.model.n_lstm_steps = 8

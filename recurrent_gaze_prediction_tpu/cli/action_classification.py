@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     train_paths = sorted(glob.glob(args.records_glob))
     if not train_paths:

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
 
     exp = Checkpointer.load_config(args.train_dir)

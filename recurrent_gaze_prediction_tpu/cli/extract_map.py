@@ -141,6 +141,9 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     c3d_root = args.c3d_root or args.clips_root
     mkdir_p(args.out_dir)

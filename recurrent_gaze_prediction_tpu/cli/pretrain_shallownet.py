@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
+    from ..utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
     if args.dataset == "salicon":
         data = salicon_data.SaliconData(root=args.salicon_root,
