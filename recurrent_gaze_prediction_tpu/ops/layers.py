@@ -161,12 +161,25 @@ def maxout2(x: jax.Array) -> jax.Array:
 
 def dropout(x: jax.Array, rate_keep: float, rng: Optional[jax.Array],
             deterministic: bool) -> jax.Array:
-    """TF-style dropout: scale kept activations by 1/keep_prob."""
+    """TF-style dropout: scale kept activations by 1/keep_prob.
+
+    When keep_prob is an exact multiple of 1/256 (the reference default
+    0.5 is 128/256), the mask is drawn from one uint8 of randomness per
+    element instead of the f32 bernoulli compare — 4x less RNG bandwidth
+    with an IDENTICAL Bernoulli(p) distribution (all 256 byte values are
+    equiprobable). Measured 2.44 -> 1.61 ms on the projection activation
+    (BENCHMARKS.md); dropout was ~9% of the gaze_grcn train step.
+    """
     if deterministic or rate_keep >= 1.0:
         return x
     if rng is None:
         raise ValueError("dropout requires an rng in train mode")
-    mask = jax.random.bernoulli(rng, rate_keep, x.shape)
+    k256 = rate_keep * 256.0
+    if abs(k256 - round(k256)) < 1e-9 and 0 < round(k256) < 256:
+        mask = jax.random.bits(rng, x.shape, jnp.uint8) \
+            < jnp.uint8(round(k256))
+    else:
+        mask = jax.random.bernoulli(rng, rate_keep, x.shape)
     return jnp.where(mask, x / rate_keep, 0.0).astype(x.dtype)
 
 
