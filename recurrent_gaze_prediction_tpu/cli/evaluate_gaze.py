@@ -117,10 +117,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         rng = np.random.RandomState(0)
         other_union = None
         if "AUC_shuffled" in args.metrics and n:
-            fix = ret["fixationmaps"]
-            other_union = np.zeros(np.asarray(fix[0]).shape)
-            for j in rng.choice(range(n), min(10, n), replace=False):
-                other_union += (np.asarray(fix[j]) > 0).astype(np.int64)
+            other_union = evaluator.metrics_np.build_other_map_union(
+                ret["fixationmaps"], rng=rng)
 
         def frame_score(metric, i):
             return evaluator.metrics_np.saliency_score_single(

@@ -105,7 +105,9 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
                   "conv decoders); run config has %s", exp.model.name)
         return 1
 
-    n_done = n_skipped = 0
+    lstm_step = (streaming.make_lstm_stream_fn(model.cfg)
+                 if exp.model.name == "gaze_lstm" else None)
+    n_done = n_skipped = n_missing = 0
     for clip in clips:
         out_file = os.path.join(args.out_dir, f"{clip}.gazemap.npy")
         if not args.overwrite and os.path.exists(out_file):
@@ -114,6 +116,7 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
         c3d_file = os.path.join(c3d_root, clip + ".c3d")
         if not os.path.exists(c3d_file):
             log.warn("missing c3d for %s, skipping", clip)
+            n_missing += 1
             continue
         feats = codec.load_c3d_for_model(c3d_file)
         if exp.model.name == "gaze_lstm":
@@ -123,8 +126,8 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
                 chunk = pad_or_clip(feats[start:start + args.chunk_len],
                                     args.chunk_len)
                 valid = min(args.chunk_len, len(feats) - start)
-                state, maps = streaming.lstm_stream_step(
-                    params, state, jax.numpy.asarray(chunk)[None], model.cfg)
+                state, maps = lstm_step(
+                    params, state, jax.numpy.asarray(chunk)[None])
                 chunks.append(np.asarray(maps[0, :valid]))
             maps = np.concatenate(chunks)
         else:
@@ -136,7 +139,11 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
                 avg_pool_7x7(maps.astype(np.float32)).astype(np.float16))
         log.info("saved %s (%d frames, streamed)", clip, len(maps))
         n_done += 1
-    log.infov("done: %d exported (streaming), %d skipped", n_done, n_skipped)
+    log.infov("done: %d exported (streaming), %d skipped, %d missing c3d",
+              n_done, n_skipped, n_missing)
+    if n_missing:
+        log.error("%d clips had no .c3d file and were NOT exported",
+                  n_missing)
     return 0
 
 
@@ -205,7 +212,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         pending.clear()
         names.clear()
 
-    n_done = n_skipped = 0
+    n_done = n_skipped = n_missing = 0
     for clip in clips:
         out_file = os.path.join(args.out_dir, f"{clip}.gazemap.npy")
         if not args.overwrite and os.path.exists(out_file):
@@ -214,6 +221,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         c3d_file = os.path.join(c3d_root, clip + ".c3d")
         if not os.path.exists(c3d_file):
             log.warn("missing c3d for %s, skipping", clip)
+            n_missing += 1
             continue
         inputs = load_clip_inputs(os.path.join(args.clips_root, clip),
                                   c3d_file, args.n_lstm_steps)
@@ -223,8 +231,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         if len(pending) == args.batch_size:
             flush()
     flush()
-    log.infov("done: %d exported, %d skipped (already present)", n_done,
-              n_skipped)
+    log.infov("done: %d exported, %d skipped (already present), "
+              "%d missing c3d", n_done, n_skipped, n_missing)
+    if n_missing:
+        log.error("%d clips had no .c3d file and were NOT exported",
+                  n_missing)
     return 0
 
 

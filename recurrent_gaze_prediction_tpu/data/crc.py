@@ -314,7 +314,26 @@ def read_crc_data_sets(image_height: int = 98, image_width: int = 98,
         if not streams["frames"]:
             return None
 
-        arrays = {k: np.stack(v) for k, v in streams.items()}
+        def _stack(key, windows):
+            # original-scale fixation maps take each clip's native tracker
+            # resolution; crcxh2 (and mixed-resolution hollywood2 clips)
+            # can therefore be ragged — fall back to an object array of
+            # [T, H, W] windows instead of crashing in np.stack. The
+            # NumPy evaluation protocol consumes these per frame.
+            if key == "fixationmaps" and fixation_original_scale:
+                shapes = {np.asarray(w).shape for w in windows}
+                if len(shapes) > 1:
+                    log.warn("mixed original-scale fixation resolutions "
+                             "%s: storing as object array (per-frame "
+                             "metrics fine; AUC_shuffled needs uniform "
+                             "resolution)", sorted(shapes))
+                    out = np.empty(len(windows), dtype=object)
+                    for i, w in enumerate(windows):
+                        out[i] = np.asarray(w)
+                    return out
+            return np.stack(windows)
+
+        arrays = {k: _stack(k, v) for k, v in streams.items()}
         arrays["pupils"] = _normalize_pupils(arrays["pupils"])
         ds = ClipDataset(clipnames=clipname_windows, **arrays)
         log.warn("%s length: %d windows", mode, len(ds))

@@ -35,7 +35,18 @@ def generate(predict_fn: Callable, params, dataset: ClipDataset,
         gt_list.append(batch["gazemaps"].reshape(b * t,
                                                  *batch["gazemaps"].shape[2:]))
         fix = batch["fixationmaps"]
-        fix_list.append(fix.reshape(b * t, *fix.shape[2:]))
+        if fix.dtype == object:
+            # ragged original-scale maps (mixed resolutions, data/crc.py):
+            # flatten windows of [T, H_i, W_i] to one object entry per frame
+            flat = np.empty(b * t, dtype=object)
+            i = 0
+            for window in fix:
+                for frame in window:
+                    flat[i] = frame
+                    i += 1
+            fix_list.append(flat)
+        else:
+            fix_list.append(fix.reshape(b * t, *fix.shape[2:]))
         img_list.append(batch["frames"].reshape(b * t,
                                                 *batch["frames"].shape[2:]))
         # one name per FRAME, so clipnames stays aligned with the flattened

@@ -226,6 +226,30 @@ def saliency_score_single(metric: str, pred_map, gt_map, fixation_map,
     raise ValueError(f"unknown metric: {metric}")
 
 
+def build_other_map_union(fixation_maps,
+                          rng: np.random.RandomState | None = None,
+                          m: int = 10) -> np.ndarray:
+    """Union of min(m, N) randomly chosen fixation maps — the AUC_shuffled
+    negative set (`evaluation_metrics.py:283-287`). Handles scipy.sparse
+    fixation maps (the SALICON loader stores them sparse)."""
+    rng = rng or np.random
+
+    def _dense(fm):
+        return fm.toarray() if scipy.sparse.issparse(fm) else np.asarray(fm)
+
+    m = min(m, len(fixation_maps))
+    other_union = np.zeros(_dense(fixation_maps[0]).shape)
+    for i in rng.choice(range(len(fixation_maps)), m, replace=False):
+        fm = _dense(fixation_maps[i])
+        if fm.shape != other_union.shape:
+            raise ValueError(
+                f"AUC_shuffled needs all fixation maps at one resolution; "
+                f"got {fm.shape} vs {other_union.shape} (mixed-resolution "
+                f"original-scale eval: score each dataset separately)")
+        other_union += (fm > 0).astype(np.int64)
+    return other_union
+
+
 def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
                    rng: np.random.RandomState | None = None) -> float:
     """Mean per-frame score; AUC_shuffled negatives come from the union of
@@ -233,16 +257,10 @@ def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
     assert len(gt_maps) == len(pred_maps) == len(fixation_maps)
     rng = rng or np.random
 
-    m = min(10, len(fixation_maps))
-    first = fixation_maps[0]
-    if scipy.sparse.issparse(first):
-        first = first.toarray()
-    other_union = np.zeros(np.asarray(first).shape)
-    for i in rng.choice(range(len(fixation_maps)), m, replace=False):
-        fm = fixation_maps[i]
-        if scipy.sparse.issparse(fm):
-            fm = fm.toarray()
-        other_union += (np.asarray(fm) > 0).astype(np.int64)
+    # only AUC_shuffled consumes the union; building it lazily keeps the
+    # other metrics working on mixed-resolution (ragged) fixation maps
+    other_union = (build_other_map_union(fixation_maps, rng=rng)
+                   if metric == "AUC_shuffled" else None)
 
     scores = [
         saliency_score_single(metric, p, g, f, other_union, rng=rng)

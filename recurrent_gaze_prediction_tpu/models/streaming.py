@@ -52,9 +52,32 @@ def grcn_stream_step(params: dict, state: jax.Array, c3d_chunk: jax.Array,
     return final_h, maps.reshape(b, tc, 49, 49)
 
 
+# step functions memoized on the cfg fields they actually read, so
+# repeated make_*_fn calls (e.g. cli/extract_map's per-clip loop via
+# stream_video) reuse one jitted function and its compile cache instead
+# of tracing+compiling a fresh program per clip. Keep the key in sync
+# with the fields grcn_stream_step / lstm_stream_step consume.
+_STREAM_FN_CACHE: dict = {}
+
+
 def make_stream_fn(cfg: ModelConfig):
     """Returns jitted `step(params, state, c3d_chunk) -> (state, maps)`."""
-    return jax.jit(lambda p, s, c: grcn_stream_step(p, s, c, cfg))
+    key = ("grcn", cfg.rnn_state_size, cfg.use_pallas, compute_dtype_of(cfg))
+    fn = _STREAM_FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, s, c: grcn_stream_step(p, s, c, cfg))
+        _STREAM_FN_CACHE[key] = fn
+    return fn
+
+
+def make_lstm_stream_fn(cfg: ModelConfig):
+    """Returns jitted `step(params, (c, h), c3d_chunk) -> (state, maps)`."""
+    key = ("lstm", cfg.rnn_state_size, compute_dtype_of(cfg))
+    fn = _STREAM_FN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, s, c: lstm_stream_step(p, s, c, cfg))
+        _STREAM_FN_CACHE[key] = fn
+    return fn
 
 
 # ------------------------------------------------------------ ConvLSTM

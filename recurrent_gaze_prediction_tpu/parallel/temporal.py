@@ -62,12 +62,15 @@ def make_temporal_sharded_fused_predict(
     cache: dict = {}
 
     def wrapper(c3d_params, gaze_params, video_frames):
+        b = video_frames.shape[0]
         n_windows = video_frames.shape[1] // 16
-        if n_windows % n_data:
+        # the sharded axis is the FOLDED b*n_windows clip axis, so e.g.
+        # 2 videos x 4 windows on an 8-device mesh is valid
+        if (b * n_windows) % n_data:
             raise ValueError(
-                f"temporal sharding needs windows ({n_windows}) divisible "
-                f"by the data axis ({n_data}); pad the video to a multiple "
-                f"of {16 * n_data} frames")
+                f"temporal sharding needs batch*windows ({b}*{n_windows}) "
+                f"divisible by the data axis ({n_data}); pad the video so "
+                f"batch*windows is a multiple of {n_data}")
         key = (jax.tree_util.tree_structure(gaze_params),
                video_frames.shape)
         jitted = cache.get(key)
@@ -122,10 +125,16 @@ def make_temporal_sharded_extract(mesh: Mesh, *,
 
     def wrapper(c3d_params, video_frames):
         n_windows = video_frames.shape[1] // 16
+        # unlike the fused predict (which shards the folded b*n_windows
+        # axis and replicates the output), the OUTPUT here stays
+        # window-sharded per batch element, so n_windows itself must
+        # split evenly
         if n_windows % n_data:
             raise ValueError(
-                f"temporal sharding needs windows ({n_windows}) divisible "
-                f"by the data axis ({n_data})")
+                f"temporal extract keeps features window-sharded, so "
+                f"windows ({n_windows}) must be divisible by the data "
+                f"axis ({n_data}); pad the video to a multiple of "
+                f"{16 * n_data} frames")
         key = video_frames.shape
         jitted = cache.get(key)
         if jitted is None:

@@ -55,6 +55,10 @@ class DynamicBatcher:
         self._max_wait_s = max_wait_ms / 1e3
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        # orders submit() vs close(): the shutdown sentinel must be the
+        # LAST item enqueued, or a request racing past the _closed check
+        # could land behind it and its Future would never resolve.
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="rgp-serving-batcher")
         self._worker.start()
@@ -66,10 +70,12 @@ class DynamicBatcher:
 
     def submit(self, *arrays: np.ndarray) -> Future:
         """Enqueue one clip. Returns a Future of its (unbatched) result."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._queue.put((tuple(np.asarray(a) for a in arrays), fut))
+        item = (tuple(np.asarray(a) for a in arrays), fut)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put(item)
         return fut
 
     def predict(self, *arrays: np.ndarray, timeout: Optional[float] = None):
@@ -77,9 +83,22 @@ class DynamicBatcher:
         return self.submit(*arrays).result(timeout=timeout)
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # guaranteed last item (see _lock)
         self._worker.join(timeout=30)
+        # Defensive drain: if the worker died (predict_fn crash beyond
+        # _dispatch's handler) items could remain; fail their futures
+        # instead of letting result() block forever.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher closed"))
 
     def __enter__(self):
         return self

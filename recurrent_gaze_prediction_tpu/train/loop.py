@@ -99,14 +99,21 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     n_train = max(len(data.train), 1) if data.train is not None else 1
     step = int(state.step)
     profile_active = False
+    profile_end = 0  # last step index to trace; nonzero once armed
+    if profile_steps and train_dir is None:
+        log.warn("profile_steps=%d requested but train_dir is unset; "
+                 "profiling disabled", profile_steps)
     while step < sched_cfg.max_steps and not stop_requested["flag"]:
+        # arm once at the first step past profile_start (>=, not ==: a
+        # resumed run enters with step >> profile_start and must still
+        # capture a trace)
         if (profile_steps and train_dir is not None and not profile_active
-                and step + 1 == profile_start):
+                and profile_end == 0 and step + 1 >= profile_start):
             jax.profiler.start_trace(f"{train_dir}/profile")
             profile_active = True
+            profile_end = step + profile_steps
             log.info("profiler: tracing steps %d..%d -> %s/profile",
-                     profile_start, profile_start + profile_steps - 1,
-                     train_dir)
+                     step + 1, profile_end, train_dir)
         t0 = time.time()
         if train_iterator is not None:
             raw = next(train_iterator, None)
@@ -121,7 +128,7 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         step = int(metrics["step"])
         t1 = time.time()
 
-        if profile_active and step >= profile_start + profile_steps - 1:
+        if profile_active and step >= profile_end:
             float(metrics["loss"])  # sync the traced steps
             jax.profiler.stop_trace()
             profile_active = False
@@ -176,6 +183,10 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
 
     if profile_active:  # loop ended inside the trace window
         jax.profiler.stop_trace()
+    if profile_steps and train_dir is not None and profile_end == 0:
+        log.warn("profile_steps=%d requested but no step ran past "
+                 "profile_start=%d (max_steps=%d); nothing was traced",
+                 profile_steps, profile_start, sched_cfg.max_steps)
     if ckpt is not None:
         ckpt.save(state, wait=True)
         ckpt.close()

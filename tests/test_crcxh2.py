@@ -20,7 +20,7 @@ from recurrent_gaze_prediction_tpu.data import (
 N_FRAMES = 90
 
 
-def _make_root(base, n_clips, prefix, seed):
+def _make_root(base, n_clips, prefix, seed, orig=(20, 20)):
     rng = np.random.RandomState(seed)
     root = str(base)
     for sub in ("vid_frm", "gazemap", "vid_c3d"):
@@ -37,9 +37,10 @@ def _make_root(base, n_clips, prefix, seed):
             grp = mat.create_group("data")
             for ui in range(2):
                 user = grp.create_group(f"user{ui}")
-                raw = np.zeros((N_FRAMES, 20, 20), np.uint8)
-                raw[np.arange(N_FRAMES), rng.randint(0, 20, N_FRAMES),
-                    rng.randint(0, 20, N_FRAMES)] = 1
+                raw = np.zeros((N_FRAMES,) + orig, np.uint8)
+                raw[np.arange(N_FRAMES),
+                    rng.randint(0, orig[0], N_FRAMES),
+                    rng.randint(0, orig[1], N_FRAMES)] = 1
                 user["gazemap"] = raw
                 user["pupilsize"] = rng.rand(N_FRAMES)
             gazemap.process_mat_file(mat)
@@ -66,6 +67,50 @@ def test_crcxh2_concatenates_both_datasets(tmp_path):
     assert any("train" in n for n in names)
     batch = (data.train or data.valid or data.test).next_batch(1)
     assert batch["frames"].shape[1] == 5
+
+
+def test_crcxh2_mixed_original_scale_fixations(tmp_path):
+    """crcxh2 with fixation_original_scale=True across datasets whose
+    trackers ran at DIFFERENT resolutions: the loader must fall back to a
+    ragged object array (not crash in np.stack), the evaluator must
+    flatten it per frame, per-frame metrics must score it, and
+    AUC_shuffled must raise a clear error (code-review r2 finding)."""
+    from recurrent_gaze_prediction_tpu.eval import evaluator, metrics_np
+
+    crc_root = _make_root(tmp_path / "crc", 2, "actionclipcrc", 0,
+                          orig=(20, 20))
+    h2_root = _make_root(tmp_path / "h2", 2, "actioncliptrain", 1,
+                         orig=(24, 30))
+    layouts = {"crc": DatasetLayout(root=crc_root),
+               "hollywood2": DatasetLayout(root=h2_root)}
+    data = read_crc_data_sets(98, 98, 49, 49, dataset="crcxh2",
+                              layouts=layouts, seq_len=5, use_cache=False,
+                              fixation_original_scale=True,
+                              parallel_jobs=2)
+    # hollywood2's "actioncliptrain" clips all land in train alongside
+    # crc's 60% -> train mixes both resolutions and must go ragged
+    ds = data.train
+    assert ds is not None and ds.fixationmaps.dtype == np.dtype(object)
+
+    def fake_predict(params, frames, c3d):
+        b, t = frames.shape[:2]
+        maps = jax.random.uniform(jax.random.PRNGKey(0), (b, t, 49, 49))
+        return maps / maps.sum((-2, -1), keepdims=True)
+
+    ret = evaluator.generate(fake_predict, {}, ds, batch_size=1,
+                             max_instances=2)
+    fix = ret["fixationmaps"]
+    assert len(fix) == len(ret["pred_gazemaps"])
+    # per-frame numpy-protocol metrics handle ragged maps
+    score = metrics_np.saliency_score(
+        "cc", list(ret["pred_gazemaps"]), list(ret["gt_gazemaps"]),
+        list(fix), rng=np.random.RandomState(0))
+    assert np.isfinite(score)
+    if fix.dtype == object and len(
+            {np.asarray(f).shape for f in fix}) > 1:
+        with pytest.raises(ValueError, match="resolution"):
+            metrics_np.build_other_map_union(
+                list(fix), rng=np.random.RandomState(0))
 
 
 def test_sharded_fused_pipeline_on_mesh():

@@ -237,10 +237,28 @@ def test_temporal_sharded_fused_predict_single_stream():
     assert sharded.shape == (1, t, 49, 49)
     np.testing.assert_allclose(sharded, local, rtol=1e-4, atol=1e-5)
 
-    # window count not divisible by the mesh -> clear error
+    # batch*windows not divisible by the mesh -> clear error
     bad = jnp.zeros((1, 7 * 16, 48, 64, 3), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         predict(c3d_params, gaze_params, bad)
+
+    # 2 videos x 4 windows = 8 clips on 8 devices IS valid: the sharded
+    # axis is the folded batch*windows clip axis (code-review r2 finding)
+    f2 = 4 * 16
+    t2 = pipeline.pipeline_timesteps(f2)
+    model2 = registry.create_model("gaze_grcn", n_lstm_steps=t2,
+                                   batch_size=2, compute_dtype="float32",
+                                   rnn_state_size=8, dim_cnn_proj=16)
+    gaze_params2 = model2.init(jax.random.PRNGKey(2))
+    video2 = jnp.asarray(np.random.RandomState(3).randint(
+        0, 255, (2, f2, 48, 64, 3)).astype(np.float32))
+    local2 = np.asarray(pipeline.extract_and_predict(
+        c3d_params, gaze_params2, model2, video2,
+        compute_dtype=jnp.float32))
+    predict2 = make_temporal_sharded_fused_predict(
+        model2, mesh, compute_dtype=jnp.float32)
+    sharded2 = np.asarray(predict2(c3d_params, gaze_params2, video2))
+    np.testing.assert_allclose(sharded2, local2, rtol=1e-4, atol=1e-5)
 
 
 def test_temporal_sharded_extract_keeps_features_sharded():
