@@ -16,6 +16,7 @@ import sys
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..config import ExperimentConfig
 from ..data import crc as crc_data
@@ -77,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_false", default=True,
                         help="disable the fused Pallas recurrence kernels")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--no_prefetch", dest="prefetch",
+                        action="store_false", default=True,
+                        help="disable the background prefetch thread "
+                        "(host-side compute-dtype cast + transfer/compute "
+                        "overlap); batches are then device_put inline")
     parser.add_argument("--profile_steps", default=0, type=int,
                         help="capture a device trace of N train steps into "
                              "{train_dir}/profile (TensorBoard-viewable)")
@@ -140,9 +146,28 @@ def main(argv: Optional[list[str]] = None) -> int:
                            step=state.step)
 
     writer = MetricWriter(exp.train_dir) if exp.train_dir else None
+
+    # Prefetch training batches on a worker thread, casting the two big
+    # streams (c3d ~236 MB, frames ~135 MB per fp32 batch-28) to the
+    # compute dtype HOST-side first — on transfer-bound hosts the wire
+    # bytes, not compute, dominate the feature-fed step (BENCHMARKS.md).
+    # The models cast inputs to compute_dtype in-graph anyway; gazemaps
+    # stay fp32 (loss targets).
+    train_iter = None
+    if args.prefetch and data.train is not None:
+        from ..data.prefetch import prefetch_batches
+
+        cast = None
+        if model.cfg.compute_dtype == "bfloat16":
+            cast = {"frames": jnp.bfloat16, "c3d": jnp.bfloat16}
+        remaining = max(exp.schedule.max_steps - int(state.step), 0)
+        train_iter = prefetch_batches(data.train, model.cfg.batch_size,
+                                      cast=cast, max_batches=remaining)
+
     log.warn("Start fitting ...")
     state = fit(model, state, tx, data, exp, train_dir=exp.train_dir,
-                metric_writer=writer, profile_steps=args.profile_steps)
+                metric_writer=writer, profile_steps=args.profile_steps,
+                train_iterator=train_iter)
 
     if data.test is not None and len(data.test) >= model.cfg.batch_size:
         log.warn("Final test-split evaluation ...")
