@@ -148,9 +148,10 @@ def export_streaming(args, exp, model, params, clips, c3d_root) -> int:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
-    from ..utils import honor_jax_platforms_env
+    from ..utils import enable_compile_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     c3d_root = args.c3d_root or args.clips_root
     mkdir_p(args.out_dir)

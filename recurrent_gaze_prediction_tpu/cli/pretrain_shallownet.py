@@ -55,9 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list[str]] = None) -> int:
-    from ..utils import honor_jax_platforms_env
+    from ..utils import enable_compile_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     if args.dataset == "salicon":
         data = salicon_data.SaliconData(root=args.salicon_root,

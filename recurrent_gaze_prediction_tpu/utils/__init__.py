@@ -1,5 +1,5 @@
 from .logging import log, mkdir_p, override
-from .platform import honor_jax_platforms_env
+from .platform import enable_compile_cache, honor_jax_platforms_env
 from .tree import cast_floating, describe, param_bytes, param_count
 
 __all__ = [

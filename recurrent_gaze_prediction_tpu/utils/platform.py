@@ -32,3 +32,28 @@ def honor_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", platforms)
     except RuntimeError:
         pass  # backends already initialized; too late to switch
+
+
+def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
+    """Turn on JAX's persistent compilation cache, scoped PER PLATFORM.
+
+    Cold compiles through this host's remote-compile relay take minutes;
+    the cache cuts warm starts to seconds (bench.py measured). Scoping
+    the directory by backend platform matters: reusing one cache across
+    CPU and TPU emits machine-feature-mismatch errors (see
+    __graft_entry__.py, which excludes its CPU dryrun child for the same
+    reason). Honors JAX_COMPILATION_CACHE_DIR if the user set one.
+    """
+    import jax
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured it
+    try:
+        platform = jax.default_backend()
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "jax_rgp_" + platform)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:  # cache is an optimization; never block the CLI
+        pass
