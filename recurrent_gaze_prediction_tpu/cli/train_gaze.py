@@ -175,7 +175,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         predict = make_predict_fn(model)
         _, scores = evaluator.generate_and_evaluate(
             predict, state.params, data.test, model.cfg.batch_size,
-            max_instances=None)
+            max_instances=None,
+            input_cast=(jnp.bfloat16 if model.cfg.compute_dtype ==
+                        "bfloat16" else None))
         if writer:
             writer.scalars(int(state.step),
                            {f"test/{m}": s for m, s in scores.items()})

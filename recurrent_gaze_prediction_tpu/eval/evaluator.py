@@ -23,12 +23,19 @@ AVAILABLE_METRICS = metrics_jax.AVAILABLE_METRICS
 
 
 def generate(predict_fn: Callable, params, dataset: ClipDataset,
-             batch_size: int, max_instances: Optional[int] = 50) -> dict:
+             batch_size: int, max_instances: Optional[int] = 50,
+             input_cast=None) -> dict:
     """Batched inference; returns per-frame stacks (time axis flattened),
-    mirroring `gaze_rnn.py:568-650`."""
+    mirroring `gaze_rnn.py:568-650`. `input_cast` casts frames/c3d
+    HOST-side before transfer (halves wire bytes on transfer-bound hosts;
+    the models cast inputs to compute dtype in-graph anyway)."""
     pred_list, gt_list, fix_list, img_list, name_list = [], [], [], [], []
     for batch in dataset.iter_batches(batch_size, max_instances):
-        preds = predict_fn(params, batch["frames"], batch["c3d"])
+        frames, c3d = batch["frames"], batch["c3d"]
+        if input_cast is not None:
+            frames = np.asarray(frames).astype(input_cast)
+            c3d = np.asarray(c3d).astype(input_cast)
+        preds = predict_fn(params, frames, c3d)
         preds = np.asarray(jax.device_get(preds))
         b, t = preds.shape[:2]
         pred_list.append(preds.reshape(b * t, *preds.shape[2:]))
@@ -93,9 +100,11 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
 def generate_and_evaluate(predict_fn: Callable, params, dataset: ClipDataset,
                           batch_size: int, max_instances: Optional[int] = 50,
                           metrics: Sequence[str] = AVAILABLE_METRICS,
-                          on_device: bool = True) -> tuple[dict, dict]:
+                          on_device: bool = True,
+                          input_cast=None) -> tuple[dict, dict]:
     """`gaze_rnn.py:677-680` equivalent."""
-    ret = generate(predict_fn, params, dataset, batch_size, max_instances)
+    ret = generate(predict_fn, params, dataset, batch_size, max_instances,
+                   input_cast=input_cast)
     scores = evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
                       ret["fixationmaps"], metrics=metrics,
                       on_device=on_device)

@@ -32,8 +32,19 @@ from .state import (
 )
 
 
-def _device_batch(batch: dict) -> dict:
-    return {k: jnp.asarray(v) for k, v in batch.items() if k != "clipnames"}
+def _device_batch(batch: dict, input_cast=None) -> dict:
+    """Transfer a host batch; `input_cast` optionally casts the two big
+    input streams (frames/c3d) HOST-side first — on transfer-bound hosts
+    the fp32 wire bytes dominate (BENCHMARKS.md); the models cast inputs
+    to their compute dtype in-graph anyway. Loss targets stay fp32."""
+    out = {}
+    for k, v in batch.items():
+        if k == "clipnames":
+            continue
+        if input_cast is not None and k in ("frames", "c3d"):
+            v = np.asarray(v).astype(input_cast)
+        out[k] = jnp.asarray(v)
+    return out
 
 
 def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
@@ -97,6 +108,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             pass
 
     n_train = max(len(data.train), 1) if data.train is not None else 1
+    input_cast = (jnp.bfloat16
+                  if model.cfg.compute_dtype == "bfloat16" else None)
     step = int(state.step)
     profile_active = False
     profile_end = 0  # last step index to trace; nonzero once armed
@@ -123,7 +136,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             batch = {k: jnp.asarray(v) for k, v in raw.items()
                      if k != "clipnames"}
         else:
-            batch = _device_batch(data.train.next_batch(batch_size))
+            batch = _device_batch(data.train.next_batch(batch_size),
+                                  input_cast=input_cast)
         state, metrics = train_step(state, batch, rng)
         step = int(metrics["step"])
         t1 = time.time()
@@ -153,7 +167,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
 
         if data.valid is not None and len(data.valid) >= batch_size \
                 and step % sched_cfg.steps_per_validation == 0:
-            vbatch = _device_batch(data.valid.next_batch(batch_size))
+            vbatch = _device_batch(data.valid.next_batch(batch_size),
+                                   input_cast=input_cast)
             vmetrics = eval_step(state.params, vbatch)
             vloss = float(vmetrics["loss"])
             log.infov(" [val   step %4d] loss: %.5f", step, vloss)
@@ -176,7 +191,7 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
                 and step % sched_cfg.steps_per_evaluation == 0:
             _, scores = evaluator.generate_and_evaluate(
                 predict_fn, state.params, data.valid, batch_size,
-                max_instances=max_eval_instances)
+                max_instances=max_eval_instances, input_cast=input_cast)
             if metric_writer:
                 metric_writer(step, {f"evaluation/{m}": s
                                      for m, s in scores.items()})
