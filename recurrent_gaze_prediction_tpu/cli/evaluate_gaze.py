@@ -89,8 +89,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         max_instances = args.num_frames // model.cfg.n_lstm_steps + 1
 
     predict = make_predict_fn(model)
+    input_cast = (jax.numpy.bfloat16
+                  if model.cfg.compute_dtype == "bfloat16" else None)
     ret = evaluator.generate(predict, state.params, dataset,
-                             model.cfg.batch_size, max_instances)
+                             model.cfg.batch_size, max_instances,
+                             input_cast=input_cast)
     scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
                                 ret["fixationmaps"], metrics=args.metrics,
                                 on_device=args.on_device)

@@ -201,6 +201,10 @@ def main(argv: Optional[list[str]] = None) -> int:
             pending.append(pending[-1])
         frames = np.stack([p["frames"] for p in pending[:args.batch_size]])
         c3d = np.stack([p["c3d"] for p in pending[:args.batch_size]])
+        if model.cfg.compute_dtype == "bfloat16":
+            # halve host->device wire bytes; the model casts in-graph anyway
+            frames = frames.astype(jax.numpy.bfloat16)
+            c3d = c3d.astype(jax.numpy.bfloat16)
         maps = np.asarray(predict(state.params, frames, c3d))
         for name, inputs, clip_maps in zip(names, pending, maps):
             valid = clip_maps[:inputs["n_valid"]].astype(np.float16)
