@@ -1,0 +1,229 @@
+"""C3D feature extraction: video files -> `.c3d` feature artifacts.
+
+CLI rebuild of the reference's offline native pipeline
+(`/root/reference/C3D/.../extract_C3D_features.py:801-926` and its batch
+driver `extract_C3D_features_script.py:12-21`): decode each video, take
+non-overlapping 16-frame windows (`extract_C3D_features.py:866`:
+range(0, num_frames, 16)), run the Sports-1M C3D network, and aggregate
+the per-window feature blobs into a pickled `{video_id}.c3d` consumed by
+`cli/extract_map.py` and the action task. Where the reference shells out
+to a CUDA Caffe binary per video (subprocess, GPU 0, batch 50,
+`extract_C3D_features.py:689-724`), this runs the same network IN-GRAPH
+as one jitted XLA program with device-batched windows.
+
+The `--attention_maps_root` option reproduces the gaze-weighted
+"attention" variant (`add_attention`, `extract_C3D_features.py:739-761`):
+frames are multiplied by a per-frame gaze map before extraction —
+composing with `extract_map.py` output, whose `{clip}.gazemap.npy` files
+are accepted directly.
+
+Weights come from the real Sports-1M caffemodel (`--caffemodel`, parsed
+by `compat/caffemodel.py`) or an orbax/npz params file (`--params`);
+without either the network is randomly initialized (loud warning —
+useful only for pipeline testing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data import codec, video
+from ..utils import log, mkdir_p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--videos", nargs="*", default=None,
+                        help="video files to process")
+    parser.add_argument("--videos_root", default=None,
+                        help="directory scanned for video files "
+                             "(.avi/.mp4/.mkv/.mov)")
+    parser.add_argument("--out_dir", required=True,
+                        help="writes {video_id}.c3d per video")
+    parser.add_argument("--frames_dir", default=None,
+                        help="optionally dump width-400 frame JPEGs per "
+                             "video, like the reference's extract_frames "
+                             "(`extract_C3D_features.py:129-178`)")
+    parser.add_argument("--feature_layer", default="conv5b",
+                        help="network tap to export (conv5b/pool5/fc6/"
+                             "fc7/fc8/prob)")
+    parser.add_argument("--caffemodel", default=None,
+                        help="Sports-1M .caffemodel to load weights from")
+    parser.add_argument("--params", default=None,
+                        help=".npz of C3D params (keys like conv1a/w)")
+    parser.add_argument("--attention_maps_root", default=None,
+                        help="directory of {video_id}.gazemap.npy gaze "
+                             "maps; frames are gaze-weighted before "
+                             "extraction (the reference's add_attention)")
+    parser.add_argument("--batch_windows", default=16, type=int,
+                        help="16-frame windows per device batch")
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--reverse", action="store_true",
+                        help="sweep the video list from the end "
+                             "(two-worker sharding, extract_map.py:118)")
+    return parser
+
+
+def _load_params(args):
+    from ..models import c3d as c3d_model
+
+    if args.caffemodel:
+        from ..compat import caffemodel
+
+        log.infov("loading C3D weights from %s", args.caffemodel)
+        return caffemodel.c3d_params_from_caffemodel(args.caffemodel)
+    if args.params:
+        log.infov("loading C3D params from %s", args.params)
+        blob = np.load(args.params)
+        params: dict = {}
+        for key in blob.files:
+            layer, leaf = key.split("/")
+            params.setdefault(layer, {})[leaf] = blob[key]
+        return jax.tree_util.tree_map(np.asarray, params)
+    log.error("no --caffemodel/--params given: using RANDOM weights "
+              "(features are only useful for pipeline testing)")
+    return c3d_model.init_params(jax.random.PRNGKey(0))
+
+
+def _blob_layout(features: np.ndarray, feature_layer: str) -> np.ndarray:
+    """One window's tap -> the reference blob layout.
+
+    conv taps arrive NDHWC `[D, H, W, C]` (batch removed) and become the
+    blob's `[C, D, H, W]` (channel, length, height, width —
+    `read_binary_blob`, `extract_C3D_features.py:62-76`); flat fc/prob
+    taps become `[C, 1, 1, 1]`.
+    """
+    if features.ndim == 4:
+        return np.transpose(features, (3, 0, 1, 2))
+    return features.reshape(-1, 1, 1, 1)
+
+
+def extract_video(c3d_params, video_path: str, out_file: str, *,
+                  feature_layer: str = "conv5b", batch_windows: int = 16,
+                  frames_dir: Optional[str] = None,
+                  attention_maps: Optional[np.ndarray] = None,
+                  _jit_cache: Optional[dict] = None) -> int:
+    """Decode one video, extract per-window features, write `.c3d`.
+
+    Returns the number of 16-frame windows written.
+    """
+    import jax.numpy as jnp
+
+    from ..models import c3d as c3d_model
+
+    frames = list(video.decode_video(video_path))
+    if frames_dir is not None:
+        video_id = os.path.splitext(os.path.basename(video_path))[0]
+        video.extract_frames(video_path, os.path.join(frames_dir, video_id))
+    if not frames:
+        raise IOError(f"no frames decoded from {video_path}")
+    arr = np.stack(frames).astype(np.float32)
+    if arr.max() <= 1.5:  # decode backends may normalize; C3D wants 0..255
+        arr = arr * 255.0
+
+    if attention_maps is not None:
+        # gaze maps come one per SUBSAMPLED model frame ([15::5], e.g.
+        # extract_map output); stretch to the raw frame count by nearest
+        # index so every decoded frame gets a weight
+        idx = np.clip(np.round(
+            np.linspace(0, len(attention_maps) - 1, len(arr))).astype(int),
+            0, len(attention_maps) - 1)
+        arr = video.apply_attention(arr, np.asarray(attention_maps)[idx])
+
+    starts = c3d_model.clip_windows(len(arr))
+    windows = [arr[s:s + 16] for s in starts if s + 16 <= len(arr)]
+    if not windows:  # short video: single zero-padded window, like the
+        # reference's VIDEO_DATA layer reading past the end
+        pad = np.zeros((16 - len(arr),) + arr.shape[1:], arr.dtype)
+        windows = [np.concatenate([arr, pad])]
+    windows = np.stack(windows)  # [N, 16, H, W, 3]
+
+    cache = _jit_cache if _jit_cache is not None else {}
+    key = (windows.shape[2:], feature_layer)
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, w: c3d_model.apply(
+            p, c3d_model.preprocess_frames(w), feature_layer=feature_layer))
+        cache[key] = fn
+
+    blobs = []
+    n = len(windows)
+    for start in range(0, n, batch_windows):
+        chunk = windows[start:start + batch_windows]
+        valid = len(chunk)
+        if valid < batch_windows:  # pad to the jitted batch shape
+            pad = np.zeros((batch_windows - valid,) + chunk.shape[1:],
+                           chunk.dtype)
+            chunk = np.concatenate([chunk, pad])
+        feats = np.asarray(fn(c3d_params, jnp.asarray(chunk)))[:valid]
+        blobs.extend(_blob_layout(f, feature_layer) for f in feats)
+
+    codec.write_c3d_file(out_file, blobs)
+    return len(blobs)
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    from ..utils import enable_compile_cache, honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    enable_compile_cache()
+    args = build_parser().parse_args(argv)
+
+    videos = list(args.videos or [])
+    if args.videos_root:
+        videos.extend(
+            os.path.join(args.videos_root, f)
+            for f in sorted(os.listdir(args.videos_root))
+            if f.lower().endswith((".avi", ".mp4", ".mkv", ".mov")))
+    if not videos:
+        log.error("no videos: pass --videos and/or --videos_root")
+        return 1
+    if args.reverse:
+        videos = videos[::-1]
+    mkdir_p(args.out_dir)
+
+    c3d_params = _load_params(args)
+    jit_cache: dict = {}
+    n_done = n_skipped = n_failed = 0
+    for path in videos:
+        video_id = os.path.splitext(os.path.basename(path))[0]
+        out_file = os.path.join(args.out_dir, video_id + ".c3d")
+        if not args.overwrite and os.path.exists(out_file):
+            n_skipped += 1
+            continue
+        attention = None
+        if args.attention_maps_root:
+            map_file = os.path.join(args.attention_maps_root,
+                                    video_id + ".gazemap.npy")
+            if not os.path.exists(map_file):
+                log.warn("no gaze map for %s (%s): skipping", video_id,
+                         map_file)
+                n_failed += 1
+                continue
+            attention = np.load(map_file).astype(np.float32)
+        try:
+            n_windows = extract_video(
+                c3d_params, path, out_file,
+                feature_layer=args.feature_layer,
+                batch_windows=args.batch_windows,
+                frames_dir=args.frames_dir, attention_maps=attention,
+                _jit_cache=jit_cache)
+        except Exception as e:
+            log.error("failed on %s: %s", path, e)
+            n_failed += 1
+            continue
+        log.info("wrote %s (%d windows)", out_file, n_windows)
+        n_done += 1
+    log.infov("done: %d extracted, %d skipped, %d failed", n_done,
+              n_skipped, n_failed)
+    return 0 if n_failed == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

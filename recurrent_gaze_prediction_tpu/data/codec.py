@@ -79,8 +79,15 @@ def fold_conv5b(features: np.ndarray) -> np.ndarray:
 
 def load_c3d_for_model(filename: str) -> np.ndarray:
     """`.c3d` file -> [T, 1024, 7, 7] ready for the gaze models
-    (squeeze singleton num dim, fold temporal into channels)."""
-    arr = np.squeeze(read_c3d_file(filename))
+    (squeeze singleton num dim, fold temporal into channels).
+
+    The leading WINDOW axis is never squeezed: a single-window clip
+    ([1, 1, 512, 2, 7, 7] or [1, 512, 2, 7, 7]) must still come back as
+    [1, 1024, 7, 7]."""
+    arr = read_c3d_file(filename)
+    inner = tuple(i for i, s in enumerate(arr.shape) if s == 1 and i != 0)
+    if inner:
+        arr = arr.squeeze(axis=inner)
     if arr.shape[-2:] != (7, 7):
         raise ValueError(f"unexpected c3d spatial shape: {arr.shape}")
     if arr.ndim == 4 and arr.shape[1] == 1024:

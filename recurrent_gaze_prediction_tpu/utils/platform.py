@@ -50,6 +50,11 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
         return  # user already configured it
     try:
         platform = jax.default_backend()
+        if platform == "cpu":
+            # XLA:CPU AOT cache entries pin exact machine features and
+            # log mismatch errors (risking SIGILL) even on near-identical
+            # hosts; CPU compiles are fast — skip the cache there.
+            return
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "jax_rgp_" + platform)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

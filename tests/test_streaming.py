@@ -259,3 +259,63 @@ def test_convlstm_scan_remat_grads_match():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_extract_features_cli(tmp_path):
+    """Video files -> `.c3d` artifacts via the extract_features CLI
+    (the reference's offline Caffe pipeline, `extract_C3D_features.py`),
+    then back through the model loader — and the gaze-weighted attention
+    variant composes with extract_map's `.gazemap.npy` output format."""
+    from recurrent_gaze_prediction_tpu.cli import extract_features
+    from recurrent_gaze_prediction_tpu.data import codec
+
+    vids = str(tmp_path / "vids")
+    os.makedirs(vids)
+    _write_avi(os.path.join(vids, "clipA.avi"), n_frames=35)
+    _write_avi(os.path.join(vids, "clipB.avi"), n_frames=20)
+    out = str(tmp_path / "c3d")
+
+    rc = extract_features.main([
+        "--videos_root", vids, "--out_dir", out, "--batch_windows", "2"])
+    assert rc == 0
+    feats_a = codec.load_c3d_for_model(os.path.join(out, "clipA.c3d"))
+    feats_b = codec.load_c3d_for_model(os.path.join(out, "clipB.c3d"))
+    assert feats_a.shape == (2, 1024, 7, 7)  # 35 frames -> 2 full windows
+    assert feats_b.shape == (1, 1024, 7, 7)
+    assert np.isfinite(feats_a).all()
+
+    # skip-if-exists resume
+    rc = extract_features.main(["--videos_root", vids, "--out_dir", out])
+    assert rc == 0
+
+    # attention variant: per-subsampled-frame maps get index-stretched to
+    # the raw frame count; a mask that zeroes the left half of the frame
+    # must change the features
+    maps = np.zeros((7, 49, 49), np.float32)
+    maps[:, :, 24:] = 1.0
+    att_root = str(tmp_path / "maps")
+    os.makedirs(att_root)
+    np.save(os.path.join(att_root, "clipA.gazemap.npy"), maps)
+    att_out = str(tmp_path / "c3d_att")
+    rc = extract_features.main([
+        "--videos", os.path.join(vids, "clipA.avi"), "--out_dir", att_out,
+        "--attention_maps_root", att_root])
+    assert rc == 0
+    feats_att = codec.load_c3d_for_model(os.path.join(att_out, "clipA.c3d"))
+    assert feats_att.shape == feats_a.shape
+    assert not np.allclose(feats_att, feats_a)
+
+    # fc6 tap produces flat 4096-dim blobs in the reference layout
+    fc_out = str(tmp_path / "c3d_fc6")
+    rc = extract_features.main([
+        "--videos", os.path.join(vids, "clipB.avi"), "--out_dir", fc_out,
+        "--feature_layer", "fc6"])
+    assert rc == 0
+    raw = codec.read_c3d_file(os.path.join(fc_out, "clipB.c3d"))
+    assert raw.shape == (1, 4096, 1, 1, 1)
+
+    # missing attention map -> failure is REPORTED via exit code
+    rc = extract_features.main([
+        "--videos", os.path.join(vids, "clipB.avi"), "--out_dir",
+        str(tmp_path / "c3d_att2"), "--attention_maps_root", att_root])
+    assert rc == 1
