@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--caffemodel", default=None,
                         help="Sports-1M .caffemodel to load weights from")
     parser.add_argument("--params", default=None,
-                        help=".npz of C3D params (keys like conv1a/w)")
+                        help=".npz of C3D params (flat keys like conv1a_w, "
+                             "or conv1a/w)")
     parser.add_argument("--attention_maps_root", default=None,
                         help="directory of {video_id}.gazemap.npy gaze "
                              "maps; frames are gaze-weighted before "
@@ -81,11 +82,10 @@ def _load_params(args):
     if args.params:
         log.infov("loading C3D params from %s", args.params)
         blob = np.load(args.params)
-        params: dict = {}
-        for key in blob.files:
-            layer, leaf = key.split("/")
-            params.setdefault(layer, {})[leaf] = blob[key]
-        return jax.tree_util.tree_map(np.asarray, params)
+        # the C3D pytree is FLAT ('conv1a_w', 'fc6_b', ...); also accept
+        # 'conv1a/w'-style keys by joining
+        return {key.replace("/", "_"): np.asarray(blob[key])
+                for key in blob.files}
     log.error("no --caffemodel/--params given: using RANDOM weights "
               "(features are only useful for pipeline testing)")
     return c3d_model.init_params(jax.random.PRNGKey(0))
@@ -117,35 +117,54 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
 
     from ..models import c3d as c3d_model
 
-    frames = list(video.decode_video(video_path))
-    if frames_dir is not None:
-        video_id = os.path.splitext(os.path.basename(video_path))[0]
-        video.extract_frames(video_path, os.path.join(frames_dir, video_id))
+    # frames stay uint8 until the per-chunk device feed — a long video as
+    # fp32 would be 4x the decoded footprint before a single window runs
+    frames = [np.asarray(f, np.uint8) for f in video.decode_video(video_path)]
     if not frames:
         raise IOError(f"no frames decoded from {video_path}")
-    arr = np.stack(frames).astype(np.float32)
-    if arr.max() <= 1.5:  # decode backends may normalize; C3D wants 0..255
-        arr = arr * 255.0
+    arr = np.stack(frames)
+    del frames
+    if frames_dir is not None:  # dump from memory; don't decode twice
+        from PIL import Image
 
+        video_id = os.path.splitext(os.path.basename(video_path))[0]
+        dump_dir = os.path.join(frames_dir, video_id)
+        mkdir_p(dump_dir)
+        for i in range(len(arr)):
+            Image.fromarray(video.resize_to_width(arr[i])).save(
+                os.path.join(dump_dir, f"{i:06d}.jpg"))
+
+    att_idx = None
     if attention_maps is not None:
         # gaze maps come one per SUBSAMPLED model frame ([15::5], e.g.
         # extract_map output); stretch to the raw frame count by nearest
-        # index so every decoded frame gets a weight
-        idx = np.clip(np.round(
+        # index so every decoded frame gets a weight. Max-normalize so
+        # softmax probability maps (cells ~1/2401) weight RELATIVELY
+        # instead of blacking the frame out.
+        attention_maps = np.asarray(attention_maps, np.float32)
+        peaks = attention_maps.max(axis=(-2, -1), keepdims=True)
+        attention_maps = attention_maps / np.maximum(peaks, 1e-12)
+        att_idx = np.clip(np.round(
             np.linspace(0, len(attention_maps) - 1, len(arr))).astype(int),
             0, len(attention_maps) - 1)
-        arr = video.apply_attention(arr, np.asarray(attention_maps)[idx])
 
+    # every start in range(0, num_frames, 16) emits a window like the
+    # reference (`extract_C3D_features.py:866`); the tail is zero-padded
+    # where the reference's VIDEO_DATA layer reads past the end
     starts = c3d_model.clip_windows(len(arr))
-    windows = [arr[s:s + 16] for s in starts if s + 16 <= len(arr)]
-    if not windows:  # short video: single zero-padded window, like the
-        # reference's VIDEO_DATA layer reading past the end
-        pad = np.zeros((16 - len(arr),) + arr.shape[1:], arr.dtype)
-        windows = [np.concatenate([arr, pad])]
-    windows = np.stack(windows)  # [N, 16, H, W, 3]
+
+    def window_at(s: int) -> np.ndarray:
+        w = arr[s:s + 16]
+        if attention_maps is not None:
+            w = video.apply_attention(w, attention_maps[att_idx[s:s + 16]])
+        w = w.astype(np.float32)
+        if len(w) < 16:
+            w = np.concatenate(
+                [w, np.zeros((16 - len(w),) + w.shape[1:], w.dtype)])
+        return w
 
     cache = _jit_cache if _jit_cache is not None else {}
-    key = (windows.shape[2:], feature_layer)
+    key = (arr.shape[1:3], feature_layer)
     fn = cache.get(key)
     if fn is None:
         fn = jax.jit(lambda p, w: c3d_model.apply(
@@ -153,9 +172,9 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
         cache[key] = fn
 
     blobs = []
-    n = len(windows)
-    for start in range(0, n, batch_windows):
-        chunk = windows[start:start + batch_windows]
+    for cstart in range(0, len(starts), batch_windows):
+        chunk_starts = starts[cstart:cstart + batch_windows]
+        chunk = np.stack([window_at(s) for s in chunk_starts])
         valid = len(chunk)
         if valid < batch_windows:  # pad to the jitted batch shape
             pad = np.zeros((batch_windows - valid,) + chunk.shape[1:],

@@ -161,9 +161,12 @@ def main(argv: Optional[list[str]] = None) -> int:
         cast = None
         if model.cfg.compute_dtype == "bfloat16":
             cast = {"frames": jnp.bfloat16, "c3d": jnp.bfloat16}
-        remaining = max(exp.schedule.max_steps - int(state.step), 0)
+        # max_batches is an upper bound; checkpoint resume happens inside
+        # fit(), which simply stops consuming at max_steps — the small
+        # prefetch queue bounds any over-production
         train_iter = prefetch_batches(data.train, model.cfg.batch_size,
-                                      cast=cast, max_batches=remaining)
+                                      cast=cast,
+                                      max_batches=exp.schedule.max_steps)
 
     log.warn("Start fitting ...")
     state = fit(model, state, tx, data, exp, train_dir=exp.train_dir,

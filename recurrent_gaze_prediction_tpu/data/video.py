@@ -119,9 +119,10 @@ def apply_attention(frames: np.ndarray, gazemaps: np.ndarray) -> np.ndarray:
     n, h, w = frames.shape[:3]
     out = np.empty_like(frames)
     for i in range(n):
-        gm = Image.fromarray((np.asarray(gazemaps[i]) * 255).astype(np.uint8))
-        gm = np.asarray(gm.resize((w, h), Image.BILINEAR),
-                        np.float32) / 255.0
+        # float-mode resize: quantizing through uint8 first would zero
+        # softmax probability maps (typical cell ~1/2401 < 1/255)
+        gm = Image.fromarray(np.asarray(gazemaps[i], np.float32), mode="F")
+        gm = np.asarray(gm.resize((w, h), Image.BILINEAR), np.float32)
         out[i] = (frames[i].astype(np.float32) * gm[..., None]).astype(
             frames.dtype)
     return out

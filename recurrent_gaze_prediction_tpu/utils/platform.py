@@ -49,7 +49,14 @@ def enable_compile_cache(min_compile_secs: float = 1.0) -> None:
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # user already configured it
     try:
-        platform = jax.default_backend()
+        # read the platform from the environment rather than
+        # jax.default_backend(): querying the backend would INITIALIZE it
+        # at CLI startup (before arg parsing / --help), which is slow on
+        # remote-relay hosts and grabs the single-tenant TPU
+        platform = (os.environ.get("JAX_PLATFORMS") or
+                    "").split(",")[0].strip()
+        if not platform:
+            return  # unknown without initializing the backend; skip
         if platform == "cpu":
             # XLA:CPU AOT cache entries pin exact machine features and
             # log mismatch errors (risking SIGILL) even on near-identical

@@ -280,8 +280,10 @@ def test_extract_features_cli(tmp_path):
     assert rc == 0
     feats_a = codec.load_c3d_for_model(os.path.join(out, "clipA.c3d"))
     feats_b = codec.load_c3d_for_model(os.path.join(out, "clipB.c3d"))
-    assert feats_a.shape == (2, 1024, 7, 7)  # 35 frames -> 2 full windows
-    assert feats_b.shape == (1, 1024, 7, 7)
+    # reference windowing range(0, n, 16): 35 frames -> starts 0/16/32
+    # (tail zero-padded), 20 frames -> starts 0/16
+    assert feats_a.shape == (3, 1024, 7, 7)
+    assert feats_b.shape == (2, 1024, 7, 7)
     assert np.isfinite(feats_a).all()
 
     # skip-if-exists resume
@@ -312,7 +314,7 @@ def test_extract_features_cli(tmp_path):
         "--feature_layer", "fc6"])
     assert rc == 0
     raw = codec.read_c3d_file(os.path.join(fc_out, "clipB.c3d"))
-    assert raw.shape == (1, 4096, 1, 1, 1)
+    assert raw.shape == (2, 4096, 1, 1, 1)
 
     # missing attention map -> failure is REPORTED via exit code
     rc = extract_features.main([
