@@ -172,3 +172,39 @@ def test_fused_and_stream_programs(tmp_path, small_grcn):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_ref),
                                rtol=1e-6, atol=1e-6)
     assert m1.shape == (1, 2, 49, 49)
+
+
+def test_dynamic_batcher_close_lifecycle():
+    """close() is idempotent, rejects later submits, and fails (rather
+    than strands) futures left in the queue if the worker died
+    (code-review r2: a submit/close race could leave a Future unresolved
+    forever)."""
+    import queue as queue_mod
+
+    from recurrent_gaze_prediction_tpu.serving.batcher import DynamicBatcher
+
+    calls = []
+
+    def predict(x):
+        calls.append(len(x))
+        return x * 2
+
+    b = DynamicBatcher(predict, max_batch=4, max_wait_ms=1.0)
+    assert np.asarray(b.predict(np.ones((2, 2)))).max() == 2.0
+    b.close()
+    b.close()  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.ones((2, 2)))
+
+    # simulate a dead worker with an orphaned queued request: close()
+    # must fail its future instead of leaving result() to hang
+    b2 = DynamicBatcher(predict, max_batch=4, max_wait_ms=1.0)
+    b2._worker.join(timeout=0)  # don't wait; worker is parked on get()
+    fut = __import__("concurrent.futures", fromlist=["Future"]).Future()
+    b2._queue.put(((np.ones((2, 2)),), fut))
+    # kill the worker by feeding the sentinel directly, bypassing close()
+    b2._queue.queue.appendleft(None)  # sentinel FIRST so the item orphans
+    b2._worker.join(timeout=5)
+    assert not b2._worker.is_alive()
+    b2.close()
+    assert fut.done() and isinstance(fut.exception(), RuntimeError)
