@@ -1,6 +1,7 @@
-"""Serving: AOT-exported bundles (jax.export / StableHLO) + micro-batching."""
+"""Serving: AOT bundles (jax.export / StableHLO), micro-batching, HTTP server."""
 
 from .batcher import DynamicBatcher
+from .server import GazeServer, server_from_bundle
 from .export import (
     ServingBundle,
     export_fused_predict,
@@ -14,6 +15,8 @@ from .export import (
 
 __all__ = [
     "DynamicBatcher",
+    "GazeServer",
+    "server_from_bundle",
     "ServingBundle",
     "export_predict",
     "export_fused_predict",

@@ -1,0 +1,158 @@
+"""HTTP inference server: npz in, gaze maps out, dynamically batched.
+
+A stdlib-only (http.server) production front-end over
+`serving.DynamicBatcher`: concurrent POSTs from independent clients are
+coalesced into single device calls — each request thread blocks on its
+Future while the batcher fills a window (BENCHMARKS.md: the fused
+pipeline saturates from batch 8, so coalescing multiplies single-clip
+serving throughput). The reference has no serving story at all —
+inference re-runs the training codebase one clip at a time
+(`/root/reference/models/extract_map.py:221-227`).
+
+Protocol:
+  GET  /healthz            -> {"status": "ok", "calls": N, "requests": M}
+  POST /predict            -> body: .npz, keys = the program's inputs
+                              (`frames`+`c3d`, or `video` for the fused
+                              program); response: .npz with `gazemaps`.
+Each npz array is ONE clip without a batch dimension; the server adds
+and strips the batch axis around the coalesced device call.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..utils import log
+from .batcher import DynamicBatcher
+
+
+class GazeServer:
+    """Wraps `predict_fn(*batched_arrays) -> batched maps` in an HTTP
+    endpoint with dynamic micro-batching.
+
+    `input_keys` fixes the npz keys (and their order) a request must
+    carry, e.g. ("frames", "c3d") or ("video",).
+    """
+
+    def __init__(self, predict_fn: Callable,
+                 input_keys: Sequence[str] = ("frames", "c3d"), *,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 32, max_wait_ms: float = 5.0):
+        self.input_keys = tuple(input_keys)
+        self.batcher = DynamicBatcher(predict_fn, max_batch=max_batch,
+                                      max_wait_ms=max_wait_ms)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route through our logger
+                log.info("http: " + fmt, *args)
+
+            def _reply(self, code: int, body: bytes, ctype: str) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _reply_json(self, code: int, obj) -> None:
+                self._reply(code, json.dumps(obj).encode(),
+                            "application/json")
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._reply_json(404, {"error": "not found"})
+                self._reply_json(200, {
+                    "status": "ok",
+                    "calls": server.batcher.calls,
+                    "requests": server.batcher.requests,
+                    "inputs": list(server.input_keys),
+                })
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    return self._reply_json(404, {"error": "not found"})
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    blob = np.load(io.BytesIO(self.rfile.read(length)),
+                                   allow_pickle=False)
+                    try:
+                        arrays = [blob[k] for k in server.input_keys]
+                    except KeyError as e:
+                        return self._reply_json(400, {
+                            "error": f"missing input {e}; need "
+                                     f"{list(server.input_keys)}"})
+                except Exception as e:
+                    return self._reply_json(400, {"error": str(e)})
+                try:
+                    maps = server.batcher.predict(*arrays)
+                except Exception as e:
+                    return self._reply_json(500, {"error": str(e)})
+                out = io.BytesIO()
+                np.savez_compressed(out, gazemaps=np.asarray(maps))
+                self._reply(200, out.getvalue(), "application/octet-stream")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "GazeServer":
+        """Serve on a daemon thread; returns self (address is then bound)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="rgp-http")
+        self._thread.start()
+        log.infov("serving on http://%s:%d (inputs: %s)", *self.address,
+                  ",".join(self.input_keys))
+        return self
+
+    def serve_forever(self) -> None:
+        log.infov("serving on http://%s:%d (inputs: %s)", *self.address,
+                  ",".join(self.input_keys))
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.batcher.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def server_from_bundle(bundle_dir: str, *, program: str = "predict",
+                       host: str = "127.0.0.1", port: int = 0,
+                       max_batch: int = 32,
+                       max_wait_ms: float = 5.0) -> GazeServer:
+    """Serve an exported `serving.save_bundle` artifact.
+
+    program "predict" serves (frames, c3d) -> maps; "fused" serves raw
+    (video,) -> maps. Bundles export with a symbolic batch dim, so the
+    batcher's power-of-two buckets each specialize once.
+    """
+    from .export import load_bundle
+
+    bundle = load_bundle(bundle_dir)
+    if program == "predict":
+        fn, keys = bundle.predict, ("frames", "c3d")
+    elif program == "fused":
+        fn, keys = bundle.predict_fused, ("video",)
+    else:
+        raise ValueError(f"program must be predict|fused, got {program}")
+    if program not in bundle.programs:
+        raise ValueError(f"bundle has no '{program}' program "
+                         f"(has: {bundle.programs})")
+    return GazeServer(fn, keys, host=host, port=port, max_batch=max_batch,
+                      max_wait_ms=max_wait_ms)

@@ -208,3 +208,69 @@ def test_dynamic_batcher_close_lifecycle():
     assert not b2._worker.is_alive()
     b2.close()
     assert fut.done() and isinstance(fut.exception(), RuntimeError)
+
+
+def test_http_server_serves_bundle(tmp_path, small_grcn):
+    """HTTP front-end: concurrent npz POSTs -> coalesced device calls ->
+    per-clip gaze maps matching the direct bundle program; healthz
+    reports batcher stats; bad requests get 4xx not hangs."""
+    import http.client
+    import io
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from recurrent_gaze_prediction_tpu.serving import (
+        server_from_bundle,
+    )
+
+    model, params = small_grcn
+    save_bundle(str(tmp_path / "bundle"), model, params)
+    with server_from_bundle(str(tmp_path / "bundle"), max_batch=8,
+                            max_wait_ms=20.0).start() as server:
+        host, port = server.address
+
+        def post_clip(seed):
+            frames, c3d = _batch(1, T, seed=seed)
+            body = io.BytesIO()
+            np.savez_compressed(body, frames=np.asarray(frames[0]),
+                                c3d=np.asarray(c3d[0]))
+            conn = http.client.HTTPConnection(host, port, timeout=120)
+            conn.request("POST", "/predict", body.getvalue(),
+                         {"Content-Type": "application/octet-stream"})
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            maps = np.load(io.BytesIO(resp.read()))["gazemaps"]
+            conn.close()
+            return seed, maps
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            results = dict(pool.map(post_clip, range(6)))
+
+        bundle = load_bundle(str(tmp_path / "bundle"))
+        for seed, maps in results.items():
+            frames, c3d = _batch(1, T, seed=seed)
+            want = np.asarray(bundle.predict(frames, c3d))[0]
+            np.testing.assert_allclose(maps, want, rtol=1e-5, atol=1e-6)
+
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["requests"] == 6
+        assert 1 <= health["calls"] <= 6  # coalescing never inflates calls
+
+        # malformed body -> 400 with an error message
+        conn.request("POST", "/predict", b"not-an-npz",
+                     {"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read())
+
+        # missing key -> 400 naming the expected inputs
+        body = io.BytesIO()
+        np.savez_compressed(body, frames=np.zeros((T, 98, 98, 3), np.float32))
+        conn.request("POST", "/predict", body.getvalue(), {})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "c3d" in json.loads(resp.read())["error"]
+        conn.close()
