@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "extraction (the reference's add_attention)")
     parser.add_argument("--batch_windows", default=16, type=int,
                         help="16-frame windows per device batch")
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="conv tower compute dtype (bfloat16 rides "
+                             "the MXU; float32 for bit-exactness)")
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--reverse", action="store_true",
                         help="sweep the video list from the end "
@@ -106,6 +110,7 @@ def _blob_layout(features: np.ndarray, feature_layer: str) -> np.ndarray:
 
 def extract_video(c3d_params, video_path: str, out_file: str, *,
                   feature_layer: str = "conv5b", batch_windows: int = 16,
+                  compute_dtype: str = "bfloat16",
                   frames_dir: Optional[str] = None,
                   attention_maps: Optional[np.ndarray] = None,
                   _jit_cache: Optional[dict] = None) -> int:
@@ -153,22 +158,27 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
     # where the reference's VIDEO_DATA layer reads past the end
     starts = c3d_model.clip_windows(len(arr))
 
+    # windows ship as uint8 — 4x fewer wire bytes than fp32 on the
+    # host->device transfer; preprocess_frames casts to float ON DEVICE
     def window_at(s: int) -> np.ndarray:
         w = arr[s:s + 16]
         if attention_maps is not None:
             w = video.apply_attention(w, attention_maps[att_idx[s:s + 16]])
-        w = w.astype(np.float32)
         if len(w) < 16:
             w = np.concatenate(
                 [w, np.zeros((16 - len(w),) + w.shape[1:], w.dtype)])
         return w
 
     cache = _jit_cache if _jit_cache is not None else {}
-    key = (arr.shape[1:3], feature_layer)
+    key = (arr.shape[1:3], feature_layer, compute_dtype)
     fn = cache.get(key)
     if fn is None:
+        import jax.numpy as _jnp
+
+        cdt = _jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32
         fn = jax.jit(lambda p, w: c3d_model.apply(
-            p, c3d_model.preprocess_frames(w), feature_layer=feature_layer))
+            p, c3d_model.preprocess_frames(w), feature_layer=feature_layer,
+            compute_dtype=cdt))
         cache[key] = fn
 
     blobs = []
@@ -231,6 +241,7 @@ def main(argv: Optional[list[str]] = None) -> int:
                 c3d_params, path, out_file,
                 feature_layer=args.feature_layer,
                 batch_windows=args.batch_windows,
+                compute_dtype=args.compute_dtype,
                 frames_dir=args.frames_dir, attention_maps=attention,
                 _jit_cache=jit_cache)
         except Exception as e:

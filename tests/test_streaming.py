@@ -276,7 +276,8 @@ def test_extract_features_cli(tmp_path):
     out = str(tmp_path / "c3d")
 
     rc = extract_features.main([
-        "--videos_root", vids, "--out_dir", out, "--batch_windows", "2"])
+        "--videos_root", vids, "--out_dir", out, "--batch_windows", "2",
+        "--compute_dtype", "float32"])  # bf16 emulation is slow on CPU
     assert rc == 0
     feats_a = codec.load_c3d_for_model(os.path.join(out, "clipA.c3d"))
     feats_b = codec.load_c3d_for_model(os.path.join(out, "clipB.c3d"))
@@ -301,7 +302,7 @@ def test_extract_features_cli(tmp_path):
     att_out = str(tmp_path / "c3d_att")
     rc = extract_features.main([
         "--videos", os.path.join(vids, "clipA.avi"), "--out_dir", att_out,
-        "--attention_maps_root", att_root])
+        "--attention_maps_root", att_root, "--compute_dtype", "float32"])
     assert rc == 0
     feats_att = codec.load_c3d_for_model(os.path.join(att_out, "clipA.c3d"))
     assert feats_att.shape == feats_a.shape
@@ -311,7 +312,7 @@ def test_extract_features_cli(tmp_path):
     fc_out = str(tmp_path / "c3d_fc6")
     rc = extract_features.main([
         "--videos", os.path.join(vids, "clipB.avi"), "--out_dir", fc_out,
-        "--feature_layer", "fc6"])
+        "--feature_layer", "fc6", "--compute_dtype", "float32"])
     assert rc == 0
     raw = codec.read_c3d_file(os.path.join(fc_out, "clipB.c3d"))
     assert raw.shape == (2, 4096, 1, 1, 1)
