@@ -181,7 +181,10 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
             compute_dtype=cdt))
         cache[key] = fn
 
-    blobs = []
+    # dispatch every chunk before collecting any result: jax dispatch is
+    # async, so chunk k+1's host->device transfer overlaps chunk k's
+    # compute instead of paying a synchronous roundtrip per chunk
+    pending = []
     for cstart in range(0, len(starts), batch_windows):
         chunk_starts = starts[cstart:cstart + batch_windows]
         chunk = np.stack([window_at(s) for s in chunk_starts])
@@ -190,7 +193,11 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
             pad = np.zeros((batch_windows - valid,) + chunk.shape[1:],
                            chunk.dtype)
             chunk = np.concatenate([chunk, pad])
-        feats = np.asarray(fn(c3d_params, jnp.asarray(chunk)))[:valid]
+        pending.append((valid, fn(c3d_params, jnp.asarray(chunk))))
+
+    blobs = []
+    for valid, out in pending:
+        feats = np.asarray(out)[:valid]
         blobs.extend(_blob_layout(f, feature_layer) for f in feats)
 
     codec.write_c3d_file(out_file, blobs)
