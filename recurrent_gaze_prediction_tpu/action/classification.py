@@ -102,8 +102,14 @@ def loss_fn(params: dict, batch: dict, hp: ActionHParams,
     logits = logits_fn(params, batch["c3d"], gaze, hp, compute_dtype)
     labels = batch["labels"]
     if hp.head == "SVM":
+        # hinge needs SIGNED labels: with the records' {0,1} multi-hot
+        # fed raw (as the reference does, action_classification.py:253),
+        # absent classes contribute max(0, 1-0) = 1 with ZERO gradient
+        # and the SVM never learns to suppress them — reference bug
+        # fixed, not replicated (like the LR-restore bug; see PARITY.md)
+        signed = 2.0 * labels - 1.0
         reg = 0.5 * jnp.sum(jnp.square(params["svm_W"]))
-        hinge = jnp.sum(jnp.maximum(0.0, 1.0 - labels * logits))
+        hinge = jnp.sum(jnp.maximum(0.0, 1.0 - signed * logits))
         return reg + hp.svm_c * hinge
     xent = optax.sigmoid_binary_cross_entropy(logits, labels)
     return jnp.mean(xent)
@@ -189,13 +195,15 @@ class ActionClassifier:
 
 # --------------------------------------------------------------- metrics
 
-def hamming_loss(y_true: np.ndarray, y_pred: np.ndarray) -> float:
-    y_pred = (np.asarray(y_pred) >= 0.5).astype(np.float32)
+def hamming_loss(y_true: np.ndarray, y_pred: np.ndarray,
+                 threshold: float = 0.5) -> float:
+    y_pred = (np.asarray(y_pred) >= threshold).astype(np.float32)
     return float(np.mean(np.asarray(y_true) != y_pred))
 
 
-def zero_one_loss(y_true: np.ndarray, y_pred: np.ndarray) -> float:
-    y_pred = (np.asarray(y_pred) >= 0.5).astype(np.float32)
+def zero_one_loss(y_true: np.ndarray, y_pred: np.ndarray,
+                  threshold: float = 0.5) -> float:
+    y_pred = (np.asarray(y_pred) >= threshold).astype(np.float32)
     exact = np.all(np.asarray(y_true) == y_pred, axis=-1)
     return float(1.0 - exact.mean())
 
@@ -218,11 +226,15 @@ def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> np.ndarray:
     return np.asarray(aps)
 
 
-def evaluate(y_true: np.ndarray, y_score: np.ndarray) -> dict:
+def evaluate(y_true: np.ndarray, y_score: np.ndarray,
+             threshold: float = 0.5) -> dict:
+    """`threshold` is the positive-class decision boundary: 0.5 for the
+    NN head's sigmoid probabilities, 0.0 for the SVM head's raw margins
+    (the reference thresholds SVM output with np.sign)."""
     aps = average_precision(y_true, y_score)
     return {
-        "hamming_loss": hamming_loss(y_true, y_score),
-        "zero_one_loss": zero_one_loss(y_true, y_score),
+        "hamming_loss": hamming_loss(y_true, y_score, threshold),
+        "zero_one_loss": zero_one_loss(y_true, y_score, threshold),
         "mean_average_precision": float(np.nanmean(aps)),
         "per_class_ap": aps,
     }

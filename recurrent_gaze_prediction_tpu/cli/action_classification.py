@@ -75,7 +75,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                                      drop_remainder=True):
         y_true.append(batch["labels"])
         y_score.append(clf.predict(batch))
-    scores = evaluate(np.concatenate(y_true), np.concatenate(y_score))
+    scores = evaluate(np.concatenate(y_true), np.concatenate(y_score),
+                      threshold=0.0 if hp.head == "SVM" else 0.5)
     for name in ("hamming_loss", "zero_one_loss", "mean_average_precision"):
         log.infov("%s: %.4f", name, scores[name])
     if args.out:

@@ -43,8 +43,9 @@ def _normalize_range(x: jax.Array) -> jax.Array:
 
 
 def _sum_normalize(x: jax.Array) -> jax.Array:
-    s = x.sum(axis=-1, keepdims=True)
-    return x / jnp.where(s != 0, s, 1.0)
+    # plain division, like the golden: an all-zero map propagates NaN
+    # through sim/kld instead of silently scoring garbage
+    return x / x.sum(axis=-1, keepdims=True)
 
 
 def cc_batch(pred: jax.Array, gt: jax.Array) -> jax.Array:
@@ -55,7 +56,8 @@ def cc_batch(pred: jax.Array, gt: jax.Array) -> jax.Array:
     g = g - g.mean(axis=-1, keepdims=True)
     num = (p * g).sum(axis=-1)
     den = jnp.sqrt((p * p).sum(axis=-1) * (g * g).sum(axis=-1))
-    return num / jnp.where(den > 0, den, 1.0)
+    # constant map -> NaN, matching np.corrcoef in the golden
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), jnp.nan)
 
 
 def sim_batch(pred: jax.Array, gt: jax.Array) -> jax.Array:
@@ -73,7 +75,11 @@ def nss_batch(pred: jax.Array, fixation: jax.Array) -> jax.Array:
     std = p.std(axis=-1, keepdims=True)
     z = (p - mean) / jnp.maximum(std, 1e-12)
     n_fix = f.sum(axis=-1)
-    return jnp.where(f, z, 0.0).sum(axis=-1) / jnp.maximum(n_fix, 1)
+    score = jnp.where(f, z, 0.0).sum(axis=-1) / jnp.maximum(n_fix, 1)
+    # no fixated pixels -> NaN like the golden ("no fixation to predict");
+    # np.nanmean aggregation then excludes the frame instead of biasing
+    # the mean toward 0
+    return jnp.where(n_fix > 0, score, jnp.nan)
 
 
 def kld_batch(pred: jax.Array, gt: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -279,17 +285,26 @@ def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
                    key: jax.Array,
                    metrics: Sequence[str] = AVAILABLE_METRICS,
                    other_map: Optional[jax.Array] = None,
-                   max_fix: int = 64, n_rep: int = 100) -> dict:
+                   max_fix: int = 64, n_rep: int = 100,
+                   chunk_size: int = 512) -> dict:
     """Compute per-frame scores for each metric; returns {metric: [N]}.
 
     Predictions are min-max normalized first, matching
     `evaluation_metrics.py:245`. All maps must share the same [N, H, W]
     shape (the on-device protocol evaluates at gazemap scale; the
-    original-scale path lives in the NumPy evaluator). The whole requested
-    metric set runs as ONE jitted XLA program.
+    original-scale path lives in the NumPy evaluator).
+
+    Frames run through the jitted metric program in `chunk_size` slices:
+    the shuffled/Borji AUC samplers materialize [chunk, n_rep, ...] noise
+    tensors, so an unchunked 10k-frame eval would need ~10 GB of HBM for
+    the noise alone. The AUC_shuffled other-map union is built from the
+    FULL fixation set before chunking (protocol: union over the whole
+    population, `evaluation_metrics.py:283-287`); the last chunk is padded
+    to the chunk shape so at most two programs compile.
     """
     key, k_other = jax.random.split(key)
     pred = pred.reshape(pred.shape[0], *pred.shape[-2:])
+    n = pred.shape[0]
     if other_map is None:
         if "AUC_shuffled" in metrics:
             other_map = build_other_map_union(fixation, k_other)
@@ -302,5 +317,25 @@ def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
             fixation.reshape(fixation.shape[0], -1) > 0.5, axis=-1)))
         if densest > max_fix:
             max_fix = 1 << (densest - 1).bit_length()
-    return _evaluate_batch_jit(pred, gt, fixation, other_map, key,
-                               tuple(metrics), max_fix, n_rep)
+
+    if n <= chunk_size:
+        return _evaluate_batch_jit(pred, gt, fixation, other_map, key,
+                                   tuple(metrics), max_fix, n_rep)
+
+    def pad_to(x, size):
+        return jnp.concatenate(
+            [x, jnp.zeros((size - x.shape[0],) + x.shape[1:], x.dtype)])
+
+    pieces: list[dict] = []
+    for start in range(0, n, chunk_size):
+        sl = slice(start, min(start + chunk_size, n))
+        p, g, f = pred[sl], gt[sl], fixation[sl]
+        valid = p.shape[0]
+        if valid < chunk_size:
+            p, g, f = (pad_to(x, chunk_size) for x in (p, g, f))
+        out = _evaluate_batch_jit(p, g, f, other_map,
+                                  jax.random.fold_in(key, start),
+                                  tuple(metrics), max_fix, n_rep)
+        pieces.append({m: v[:valid] for m, v in out.items()})
+    return {m: jnp.concatenate([piece[m] for piece in pieces])
+            for m in pieces[0]}

@@ -99,7 +99,10 @@ def convgru_scan_pallas(params: dict, wx_tb: jax.Array, h0: jax.Array,
         out_shape=jax.ShapeDtypeStruct((t, b, h, w, units), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, h, w, units), jnp.float32)],
         interpret=interpret,
-    )(wx_tb, uzr.astype(wx_tb.dtype), uc.astype(wx_tb.dtype), h0)
+        # h0 cast here: the scratch is f32 and a bf16->f32 ref store is
+        # rejected at Pallas lowering (callers previously had to pre-cast)
+    )(wx_tb, uzr.astype(wx_tb.dtype), uc.astype(wx_tb.dtype),
+      h0.astype(jnp.float32))
 
 
 def convgru_scan(params: dict, x_tbhwc: jax.Array, h0: jax.Array,

@@ -82,7 +82,7 @@ def _conv3x3_kernel_grad(x: jax.Array, g: jax.Array,
     return jnp.stack(rows)  # [3, 3, Cin, Cout]
 
 
-def _convgru_bwd_kernel(wx_ref, ys_ref, hprev_ref, uzr_ref, uc_ref, g_ref,
+def _convgru_bwd_kernel(wx_ref, hprev_ref, uzr_ref, uc_ref, g_ref,
                         dwx_ref, dh0_ref, duzr_ref, duc_ref,
                         dh_scratch, *, units: int, t_total: int):
     step = pl.program_id(0)          # 0 .. T-1, walking time backwards
@@ -95,7 +95,6 @@ def _convgru_bwd_kernel(wx_ref, ys_ref, hprev_ref, uzr_ref, uc_ref, g_ref,
         duc_ref[...] = jnp.zeros_like(duc_ref)
 
     h_prev = hprev_ref[0]            # h_{t-1}
-    h_new = ys_ref[0]                # h_t (stored forward output)
     wx = wx_ref[0].astype(jnp.float32)
     dh_new = g_ref[0].astype(jnp.float32) + dh_scratch[...]
 
@@ -105,7 +104,6 @@ def _convgru_bwd_kernel(wx_ref, ys_ref, hprev_ref, uzr_ref, uc_ref, g_ref,
     r = jax.nn.sigmoid(wx[..., units:2 * units] + uh[..., units:])
     rh = r * h_prev
     c = jnp.tanh(wx[..., 2 * units:] + _conv3x3_same(rh, uc_ref[...]))
-    del h_new  # kept as an input for potential cheap-c variants
 
     dc = dh_new * (1.0 - u)
     du_pre = dh_new * (h_prev - c) * u * (1.0 - u)
@@ -145,8 +143,6 @@ def _convgru_bwd_pallas(uzr, uc, wx_tb, ys, h0, g, interpret: bool = False):
             pl.BlockSpec((1, b, h, w, three_u), rev,
                          memory_space=pltpu.VMEM),          # wx
             pl.BlockSpec((1, b, h, w, units), rev,
-                         memory_space=pltpu.VMEM),          # ys (h_t)
-            pl.BlockSpec((1, b, h, w, units), rev,
                          memory_space=pltpu.VMEM),          # h_{t-1}
             pl.BlockSpec(memory_space=pltpu.VMEM),          # U_zr
             pl.BlockSpec(memory_space=pltpu.VMEM),          # U_c
@@ -174,7 +170,7 @@ def _convgru_bwd_pallas(uzr, uc, wx_tb, ys, h0, g, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(wx_tb, ys, hprev, uzr.astype(jnp.float32), uc.astype(jnp.float32),
+    )(wx_tb, hprev, uzr.astype(jnp.float32), uc.astype(jnp.float32),
       g)
     return dwx, dh0, duzr, duc
 

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..layers import conv2d
 from .convgru import convgru_scan_pallas
+from .convgru_vjp import _conv3x3_transpose
 
 
 def _patches(x: jax.Array) -> jax.Array:
@@ -71,15 +72,12 @@ def _dh_bwd_kernel(u_ref, r_ref, c_ref, hprev_ref, g_ref, uzr_ref, uc_ref,
     du_pre = dh_new * (h_prev - c) * u * (1.0 - u)
     da = dc * (1.0 - c * c)
 
-    # transposed convs as 9 shifted matmuls against kernel[dy,dx]^T
-    b, h, w, _ = da.shape
-    uc = uc_ref[...]
-    drh = _conv_transpose_same(da, uc)
+    drh = _conv3x3_transpose(da, uc_ref[...])
     dr_pre = drh * h_prev * r * (1.0 - r)
     dzr = jnp.concatenate([du_pre, dr_pre], axis=-1)
 
     dh_prev = (dh_new * u + drh * r
-               + _conv_transpose_same(dzr, uzr_ref[...]))
+               + _conv3x3_transpose(dzr, uzr_ref[...]))
 
     dzr_ref[0] = dzr
     da_ref[0] = da
@@ -88,21 +86,6 @@ def _dh_bwd_kernel(u_ref, r_ref, c_ref, hprev_ref, g_ref, uzr_ref, uc_ref,
     @pl.when(step == t_total - 1)
     def _():
         dh0_ref[...] = dh_prev
-
-
-def _conv_transpose_same(g: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Correlation with the 3x3 kernel (gradient wrt conv input)."""
-    b, h, w, cout = g.shape
-    cin = kernel.shape[2]
-    padded = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((b * h * w, cin), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = padded[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :]
-            out = out + jnp.dot(patch.reshape(b * h * w, cout),
-                                kernel[dy, dx].T,
-                                preferred_element_type=jnp.float32)
-    return out.reshape(b, h, w, cin)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

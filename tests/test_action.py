@@ -119,3 +119,28 @@ def test_classifier_save_load_roundtrip(tmp_path):
     loaded = ActionClassifier.load(path, hp)
     np.testing.assert_allclose(clf.predict(data), loaded.predict(data),
                                rtol=1e-6)
+
+
+def test_svm_suppresses_negative_classes():
+    """With signed hinge labels (reference bug fixed: {0,1} labels give
+    absent classes zero gradient), a trained SVM drives absent-class
+    margins negative; evaluate(threshold=0.0) then scores margins at the
+    SVM's actual decision boundary."""
+    hp = ActionHParams(batch_size=8, max_iter=200, head="SVM")
+    clf = ActionClassifier(hp)
+    data = _fake_records(64, learnable=True)
+
+    def batches():
+        for i in range(hp.max_iter):
+            idx = np.random.RandomState(i).randint(0, 64, hp.batch_size)
+            yield {k: v[idx] for k, v in data.items()}
+
+    clf.fit(batches())
+    margins = clf.predict({k: v[:32] for k, v in data.items()})
+    labels = data["labels"][:32]
+    # absent classes sit below the decision boundary on average, present
+    # classes above — impossible with the unsigned-label hinge (absent
+    # classes were unconstrained)
+    assert margins[labels == 0].mean() < 0.0 < margins[labels == 1].mean()
+    result = evaluate(labels, margins, threshold=0.0)
+    assert result["hamming_loss"] < 0.5

@@ -216,3 +216,55 @@ def test_protocol_delta_on_device_vs_original_scale():
         ref = metrics_np.saliency_score(m, list(pred), list(gt),
                                         list(fix_orig), rng=rs)
         assert abs(dev - ref) <= bounds[m], (m, dev, ref)
+
+
+def test_on_device_nan_conventions_match_golden():
+    """Degenerate frames (no fixations / constant maps / zero-sum maps)
+    must score NaN on-device exactly where the NumPy golden does, so
+    nanmean aggregation excludes them instead of biasing toward 0
+    (code-review r2 finding on nss_batch)."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    pred = rng.rand(3, 21, 21).astype(np.float32)
+    fix = np.zeros((3, 21, 21), np.float32)
+    fix[1, 4, 5] = 1.0  # only frame 1 has a fixation
+
+    nss_dev = np.asarray(mj.nss_batch(jnp.asarray(pred), jnp.asarray(fix)))
+    assert np.isnan(nss_dev[0]) and np.isnan(nss_dev[2])
+    assert np.isfinite(nss_dev[1])
+    assert np.isnan(mnp.nss(fix[0], pred[0]))
+
+    const = np.ones((1, 21, 21), np.float32)
+    cc_dev = np.asarray(mj.cc_batch(jnp.asarray(const), jnp.asarray(pred[:1])))
+    assert np.isnan(cc_dev[0])
+    assert np.isnan(mnp.cc(pred[0], const[0]))
+
+    zero = np.zeros((1, 21, 21), np.float32)
+    sim_dev = np.asarray(mj.sim_batch(jnp.asarray(zero), jnp.asarray(pred[:1])))
+    assert np.isnan(sim_dev[0])
+    assert np.isnan(mnp.similarity(pred[0], zero[0]))
+
+
+def test_evaluate_batch_chunking_matches_unchunked():
+    """Chunked evaluation (memory bound for large N) must agree with the
+    single-program path on deterministic metrics and stay in sampling
+    noise for the stochastic AUCs; padded tail frames must not leak into
+    the results."""
+    pred, gt, fix = _random_frames(n=23, seed=21)
+    key = jax.random.PRNGKey(5)
+    whole = mj.evaluate_batch(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(fix), key,
+                              metrics=("cc", "sim", "AUC_shuffled"))
+    chunked = mj.evaluate_batch(jnp.asarray(pred), jnp.asarray(gt),
+                                jnp.asarray(fix), key,
+                                metrics=("cc", "sim", "AUC_shuffled"),
+                                chunk_size=10)
+    for m in ("cc", "sim"):
+        np.testing.assert_allclose(np.asarray(chunked[m]),
+                                   np.asarray(whole[m]), rtol=1e-5,
+                                   atol=1e-6)
+    assert chunked["AUC_shuffled"].shape == (23,)
+    # same frames, same other-map: stochastic AUC means agree closely
+    assert abs(np.nanmean(np.asarray(chunked["AUC_shuffled"])) -
+               np.nanmean(np.asarray(whole["AUC_shuffled"]))) < 0.05
