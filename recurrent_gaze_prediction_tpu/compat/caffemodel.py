@@ -100,7 +100,7 @@ def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
     wins.
     """
     dims = {}
-    data: Optional[np.ndarray] = None
+    data = None  # np.ndarray (packed) or list (unpacked entries)
     shape7 = None
     for field, wire, value in _iter_fields(buf):
         if wire == 0 and 1 <= field <= 5:
@@ -111,9 +111,11 @@ def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
             # no clash with the 5-D dims.
             data = np.frombuffer(bytes(value), dtype="<f4")
         elif field in (5, 6) and wire == 5:        # unpacked float entry
-            v = struct.unpack("<f", value)[0]
-            data = (np.append(data, v) if data is not None
-                    else np.array([v], np.float32))
+            # accumulate in a list: np.append per element is O(n^2) and
+            # takes hours on conv5b/fc-scale blobs
+            if not isinstance(data, list):
+                data = list(data) if data is not None else []
+            data.append(struct.unpack("<f", value)[0])
         elif field == 7 and wire == 2:
             # BlobShape { dim = 1 repeated varint, packed or not } — parse
             # regardless of field order (serializers commonly emit data=5
@@ -131,6 +133,8 @@ def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
                         shape7.append(dim)
     if data is None:
         raise ValueError("blob without data")
+    if isinstance(data, list):
+        data = np.asarray(data, np.float32)
     if shape7:
         return data.reshape(shape7).astype(np.float32)
     shape5 = [dims.get(i, 1) for i in range(1, 6)]  # 5-D [n,c,l,h,w]
@@ -207,8 +211,16 @@ def c3d_params_from_caffemodel(path: str) -> dict:
             continue
         w, b = blobs[0], blobs[1]
         b = b.reshape(-1)
-        if w.ndim == 5 and w.shape[2] == 1 and name.startswith("fc"):
-            w = w.reshape(w.shape[0], -1)       # fc blobs [out,in,1,1,1]
+        if w.ndim == 5 and name.startswith("fc"):
+            # InnerProduct blobs appear as (out,in,1,1,1) in the C3D-era
+            # writer AND as (1,1,1,out,in) in V1-era NetParameters; strip
+            # singleton dims and require exactly a 2-D matrix left over
+            nontrivial = [d for d in w.shape if d != 1]
+            if len(nontrivial) != 2:
+                raise ValueError(
+                    f"fc blob {name} has shape {w.shape}; cannot infer "
+                    f"(out, in) matrix")
+            w = w.reshape(nontrivial)
         arrays[name] = (w, b)
         log.info("caffemodel layer %s: w%s b%s", name, w.shape, b.shape)
     return c3d_model.params_from_caffe_arrays(arrays)

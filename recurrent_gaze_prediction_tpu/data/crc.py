@@ -139,6 +139,22 @@ def read_clip(layout: DatasetLayout, clip: str, image_height: int,
         fixationmaps = np.swapaxes(fixationmaps, 1, 2)
 
         gazemaps = fixationmaps.astype(np.float32) / len(gazemaps_list)
+        # Defensive forward fill of all-zero frames (simultaneous tracking
+        # loss across every user). Normally the offline preprocessing
+        # already filled per-user frames (`add_gazemap.py:57-74`); the
+        # reference loader defines fill_gazemap for this
+        # (`crc_input_data_seq.py:159-166`) but never calls it — a zero
+        # frame there flows into normalize_probability_map's 0/0 and
+        # poisons the xentropy loss with NaN.
+        if len(gazemaps) and gazemaps.reshape(len(gazemaps), -1).sum(
+                axis=1).min() == 0:
+            from .gazemap import fill_missing_frames
+
+            try:
+                fill_missing_frames(gazemaps)
+            except ValueError:
+                log.warn("clip %s has no gaze at all; skipping", clip)
+                return None
         apply_gaussian_filter(gazemaps, sigma)
 
         if fixation_original_scale:
@@ -150,7 +166,10 @@ def read_clip(layout: DatasetLayout, clip: str, image_height: int,
                 ts = np.asarray(user["fixation_t"]).astype(int).ravel()
                 rs = np.asarray(user["fixation_r"]).astype(int).ravel()
                 cs = np.asarray(user["fixation_c"]).astype(int).ravel()
-                t_total, oh, ow = np.asarray(user["gazemap"]).shape
+                # h5py datasets expose .shape without reading the data —
+                # np.asarray here would materialize the full original-
+                # resolution tensor per user per clip just for its shape
+                t_total, oh, ow = user["gazemap"].shape
                 maps = np.zeros((t_total, oh, ow), np.uint8)
                 maps[ts, rs, cs] = 1
                 fix_list.append(maps)
@@ -277,7 +296,9 @@ def read_crc_data_sets(image_height: int = 98, image_width: int = 98,
             cache_file = os.path.join(
                 cache_dir,
                 f"datasets_{dataset}_{image_height}_{image_width}_"
-                f"{gazemap_height}_{gazemap_width}_{seq_len}.{mode}.npz")
+                f"{gazemap_height}_{gazemap_width}_{seq_len}"
+                + ("_origfix" if fixation_original_scale else "")
+                + f".{mode}.npz")
             if os.path.exists(cache_file):
                 log.infov("Loading from cache %s ...", cache_file)
                 blob = np.load(cache_file, allow_pickle=True)

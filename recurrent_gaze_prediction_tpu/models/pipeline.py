@@ -103,10 +103,16 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
 def make_fused_predict(gaze_model: GazeModel, *, num_frames: int,
                        compute_dtype=jnp.bfloat16):
     """Returns jitted `fn(c3d_params, gaze_params, video_frames)` for a fixed
-    clip length — the production bulk-inference entry point."""
+    clip length — the production bulk-inference entry point. Calls with a
+    different frame count raise instead of silently compiling a second
+    shape specialization."""
 
     @jax.jit
     def fn(c3d_params, gaze_params, video_frames):
+        if video_frames.shape[1] != num_frames:
+            raise ValueError(
+                f"fused predict built for num_frames={num_frames}, got "
+                f"{video_frames.shape[1]}")
         return extract_and_predict(c3d_params, gaze_params, gaze_model,
                                    video_frames,
                                    compute_dtype=compute_dtype)
@@ -161,20 +167,9 @@ def flip_half_video_batch(batch: dict, key: jax.Array) -> dict:
     analog of `train/state.flip_half_batch` (`gaze_rnn.py:502-510`; no
     c3d stream to flip here, the in-graph extractor sees flipped pixels).
     """
-    b = batch["video"].shape[0]
-    perm = jax.random.permutation(key, b)
-    ranks = jnp.argsort(perm)
-    flip = (ranks < b // 2)
+    from ..train.state import random_half_flip
 
-    def _maybe_flip(x, axis):
-        flipped = jnp.flip(x, axis=axis)
-        mask = flip.reshape((b,) + (1,) * (x.ndim - 1))
-        return jnp.where(mask, flipped, x)
-
-    out = dict(batch)
-    out["video"] = _maybe_flip(batch["video"], axis=3)
-    out["gazemaps"] = _maybe_flip(batch["gazemaps"], axis=3)
-    return out
+    return random_half_flip(batch, key, {"video": 3, "gazemaps": 3})
 
 
 def make_fused_train_step(gaze_model: GazeModel, tx, *,

@@ -41,6 +41,12 @@ def _device_batch(batch: dict, input_cast=None) -> dict:
     for k, v in batch.items():
         if k == "clipnames":
             continue
+        if getattr(v, "dtype", None) == np.dtype(object):
+            # ragged original-scale fixation maps (data/crc.py mixed-
+            # resolution fallback) cannot become one device array; the
+            # train/eval steps don't consume them — they belong to the
+            # NumPy evaluation protocol
+            continue
         if input_cast is not None and k in ("frames", "c3d"):
             v = np.asarray(v).astype(input_cast)
         out[k] = jnp.asarray(v)
@@ -111,6 +117,7 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     input_cast = (jnp.bfloat16
                   if model.cfg.compute_dtype == "bfloat16" else None)
     step = int(state.step)
+    last_logged_step, t_logged = step, time.time()
     profile_active = False
     profile_end = 0  # last step index to trace; nonzero once armed
     if profile_steps and train_dir is None:
@@ -127,7 +134,6 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             profile_end = step + profile_steps
             log.info("profiler: tracing steps %d..%d -> %s/profile",
                      step + 1, profile_end, train_dir)
-        t0 = time.time()
         if train_iterator is not None:
             raw = next(train_iterator, None)
             if raw is None:
@@ -139,8 +145,10 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             batch = _device_batch(data.train.next_batch(batch_size),
                                   input_cast=input_cast)
         state, metrics = train_step(state, batch, rng)
-        step = int(metrics["step"])
-        t1 = time.time()
+        # host-side counter: int(metrics["step"]) would block on the
+        # device every iteration, serializing dispatch with host batch
+        # prep; the logging branches below sync when they need values
+        step += 1
 
         if profile_active and step >= profile_end:
             float(metrics["loss"])  # sync the traced steps
@@ -148,7 +156,11 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             profile_active = False
 
         if step % sched_cfg.steps_per_logprint == 0:
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # device sync happens HERE
+            t1 = time.time()
+            steps_since = step - last_logged_step
+            sec_per_batch = (t1 - t_logged) / max(steps_since, 1)
+            last_logged_step, t_logged = step, t1
             epoch = step * batch_size / n_train
             lr = float(lr_schedule(step))
             log.info(
@@ -156,7 +168,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
                 "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
                 epoch, step,
                 (exp.train_tag + " |" if exp.train_tag else ""),
-                loss, t1 - t0, batch_size / max(t1 - t0, 1e-9), lr)
+                loss, sec_per_batch,
+                batch_size / max(sec_per_batch, 1e-9), lr)
             if metric_writer:
                 metric_writer(step, {"loss/train": loss,
                                      "grad_norm": float(metrics["grad_norm"]),

@@ -40,20 +40,22 @@ def make_saliency_train_step(opt_cfg: OptimizerConfig,
                              compute_dtype=None,
                              use_flip: bool = True) -> tuple[Callable, optax.GradientTransformation]:
     schedule = build_schedule(opt_cfg)
-    tx = optax.chain(optax.clip_by_global_norm(opt_cfg.max_grad_norm),
-                     optax.adam(schedule))
+    # max_grad_norm <= 0 disables clipping, matching state._base_optimizer
+    # (clip_by_global_norm(0) would silently ZERO every gradient)
+    clip = (optax.clip_by_global_norm(opt_cfg.max_grad_norm)
+            if opt_cfg.max_grad_norm > 0 else optax.identity())
+    tx = optax.chain(clip, optax.adam(schedule))
 
     def step(params, opt_state, step_idx, images, gt_maps, rng):
         rng_step = jax.random.fold_in(rng, step_idx)
         k_flip, k_drop = jax.random.split(rng_step)
         if use_flip:
-            b = images.shape[0]
-            perm = jax.random.permutation(k_flip, b)
-            flip = (jnp.argsort(perm) < b // 2)
-            images = jnp.where(flip[:, None, None, None],
-                               jnp.flip(images, axis=2), images)
-            gt_maps = jnp.where(flip[:, None, None],
-                                jnp.flip(gt_maps, axis=2), gt_maps)
+            from .state import random_half_flip
+
+            flipped = random_half_flip(
+                {"images": images, "gt_maps": gt_maps}, k_flip,
+                {"images": 2, "gt_maps": 2})
+            images, gt_maps = flipped["images"], flipped["gt_maps"]
 
         def loss_fn(p):
             loss, aux = saliency_loss(p, images, gt_maps, rng=k_drop,

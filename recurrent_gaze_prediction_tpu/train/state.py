@@ -102,16 +102,18 @@ def create_train_state(model: GazeModel, opt_cfg: OptimizerConfig,
 
 # ------------------------------------------------------------ augmentation
 
-def flip_half_batch(batch: dict, key: jax.Array) -> dict:
-    """Mirror a random half of the batch horizontally, in-graph.
+def random_half_flip(batch: dict, key: jax.Array, axes: dict) -> dict:
+    """Mirror a random half of the batch along per-key axes, in-graph.
 
-    Mirrors frames [B,T,H,W,3] on W, gazemaps/fixationmaps [B,T,GH,GW] on W,
-    and c3d [B,T,1024,7,7] on its last axis (`gaze_rnn.py:502-510`).
+    `axes` maps batch key -> flip axis; keys absent from the batch are
+    skipped. Exactly floor(B/2) samples flip, like the reference
+    (`gaze_rnn.py:502-510`). Shared by the feature-fed train step, the
+    raw-video fused step, and the ShallowNet pretrain step.
     """
-    b = batch["frames"].shape[0]
+    b = next(iter(batch.values())).shape[0]
     perm = jax.random.permutation(key, b)
     ranks = jnp.argsort(perm)
-    flip = (ranks < b // 2)  # exactly floor(B/2) samples, like the reference
+    flip = (ranks < b // 2)
 
     def _maybe_flip(x, axis):
         flipped = jnp.flip(x, axis=axis)
@@ -119,12 +121,20 @@ def flip_half_batch(batch: dict, key: jax.Array) -> dict:
         return jnp.where(mask, flipped, x)
 
     out = dict(batch)
-    out["frames"] = _maybe_flip(batch["frames"], axis=3)
-    out["gazemaps"] = _maybe_flip(batch["gazemaps"], axis=3)
-    out["c3d"] = _maybe_flip(batch["c3d"], axis=4)
-    if "fixationmaps" in batch:
-        out["fixationmaps"] = _maybe_flip(batch["fixationmaps"], axis=3)
+    for key_name, axis in axes.items():
+        if key_name in batch:
+            out[key_name] = _maybe_flip(batch[key_name], axis)
     return out
+
+
+def flip_half_batch(batch: dict, key: jax.Array) -> dict:
+    """Mirror a random half of the batch horizontally, in-graph.
+
+    Mirrors frames [B,T,H,W,3] on W, gazemaps/fixationmaps [B,T,GH,GW] on W,
+    and c3d [B,T,1024,7,7] on its last axis (`gaze_rnn.py:502-510`).
+    """
+    return random_half_flip(batch, key, {"frames": 3, "gazemaps": 3,
+                                         "c3d": 4, "fixationmaps": 3})
 
 
 # ------------------------------------------------------------------ steps
