@@ -224,3 +224,43 @@ def test_layouts_for_crcxh2():
     assert both["hollywood2"].root == "/data/hollywood2"
     single = layouts_for("crc", "/data")
     assert set(single) == {"crc"} and single["crc"].root == "/data"
+
+
+def test_process_gazemap_cli_agent_sharding(tmp_path, monkeypatch):
+    """The preprocessing CLI processes exactly its AGENT_ID share of the
+    .mat files (reference `process_gazemap.py:146-153`) and adds the
+    derived keys in place."""
+    import h5py
+
+    from recurrent_gaze_prediction_tpu.cli import process_gazemap as cli
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        path = str(tmp_path / f"clip{i:02d}.mat")
+        with h5py.File(path, "w") as mat:
+            grp = mat.create_group("data")
+            user = grp.create_group("user00")
+            raw = np.zeros((20, 16, 16), np.uint8)
+            raw[np.arange(20), rng.randint(0, 16, 20),
+                rng.randint(0, 16, 20)] = 1
+            user["gazemap"] = raw
+            user["pupilsize"] = rng.rand(20)
+        paths.append(path)
+
+    monkeypatch.setenv("AGENT_ID", "1")
+    rc = cli.main(["--glob", str(tmp_path / "*.mat"), "--num_agents", "2"])
+    assert rc == 0
+    processed = []
+    for path in paths:
+        with h5py.File(path, "r") as mat:
+            processed.append("gazemap49x49" in mat["data"]["user00"])
+    # agent 1 of 2 handles odd indices only
+    assert processed == [False, True, False, True]
+
+    monkeypatch.delenv("AGENT_ID")
+    rc = cli.main(["--glob", str(tmp_path / "*.mat")])
+    assert rc == 0
+    with h5py.File(paths[0], "r") as mat:
+        user = mat["data"]["user00"]
+        assert "gazemap49x49" in user and "fixation_t" in user

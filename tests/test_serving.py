@@ -274,3 +274,63 @@ def test_http_server_serves_bundle(tmp_path, small_grcn):
         assert resp.status == 400
         assert "c3d" in json.loads(resp.read())["error"]
         conn.close()
+
+
+def test_serve_cli_subprocess(tmp_path, small_grcn):
+    """cli/serve end to end in a real subprocess: bundle -> HTTP server
+    -> healthz + one npz predict round-trip, then clean SIGINT exit."""
+    import http.client
+    import io
+    import json
+    import os
+    import socket
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    model, params = small_grcn
+    save_bundle(str(tmp_path / "bundle"), model, params)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "recurrent_gaze_prediction_tpu.cli.serve",
+         "--bundle", str(tmp_path / "bundle"), "--port", str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 120
+        health = None
+        while time.time() < deadline:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=10)
+                conn.request("GET", "/healthz")
+                health = json.loads(conn.getresponse().read())
+                break
+            except OSError:
+                time.sleep(1.0)
+        assert health is not None and health["status"] == "ok"
+
+        frames, c3d = _batch(1, T, seed=7)
+        body = io.BytesIO()
+        np.savez_compressed(body, frames=np.asarray(frames[0]),
+                            c3d=np.asarray(c3d[0]))
+        conn.request("POST", "/predict", body.getvalue(), {})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        maps = np.load(io.BytesIO(resp.read()))["gazemaps"]
+        assert maps.shape == (T, 49, 49) and np.isfinite(maps).all()
+        conn.close()
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    assert proc.returncode == 0
