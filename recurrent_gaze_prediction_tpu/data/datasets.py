@@ -54,6 +54,11 @@ class ClipDataset:
             setattr(self, key, getattr(self, key)[perm])
         self.clipnames = [self.clipnames[i] for i in perm]
 
+    def reset(self) -> None:
+        """Rewind the batch cursor to the start (checkpoint sweeps must
+        score every checkpoint on the SAME data window)."""
+        self._index = 0
+
     def next_batch(self, batch_size: int) -> dict:
         start = self._index
         self._index += batch_size

@@ -72,8 +72,20 @@ def fixation_points(x: np.ndarray, target_shape: tuple[int, int]
 
 def fill_gazemap(gazemap: np.ndarray) -> np.ndarray:
     """Forward-fill all-zero frames from the previous frame, in place
-    (`crc_input_data_seq.py:159-166`)."""
-    for i in range(len(gazemap)):
+    (`crc_input_data_seq.py:159-166`).
+
+    An all-zero FIRST frame is back-filled from the earliest non-zero
+    frame — the reference's `gazemap[i-1]` at i=0 wraps Python-style to
+    the LAST frame, leaking future gaze into frame 0 (and leaving frame
+    0 zero when the last frame is zero too); prefer
+    `fill_missing_frames` for the fully vectorized variant.
+    """
+    if len(gazemap) and gazemap[0].sum() == 0:
+        sums = gazemap.reshape(len(gazemap), -1).sum(axis=1)
+        nonzero = np.nonzero(sums)[0]
+        if nonzero.size:
+            gazemap[0] = gazemap[nonzero[0]]
+    for i in range(1, len(gazemap)):
         if gazemap[i].sum() == 0:
             gazemap[i] = gazemap[i - 1]
     return gazemap

@@ -53,13 +53,17 @@ def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
 
     def worker():
         produced = 0
-        while not stop.is_set():
-            if max_batches is not None and produced >= max_batches:
-                break
-            batch = dataset.next_batch(batch_size)
-            q.put(device_put_batch(batch, sharding, cast=cast))
-            produced += 1
-        q.put(None)
+        try:
+            while not stop.is_set():
+                if max_batches is not None and produced >= max_batches:
+                    break
+                batch = dataset.next_batch(batch_size)
+                q.put(device_put_batch(batch, sharding, cast=cast))
+                produced += 1
+            q.put(None)
+        except BaseException as exc:  # surface in the consumer; a dead
+            # worker with no sentinel would leave q.get() blocked forever
+            q.put(exc)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
@@ -68,6 +72,8 @@ def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

@@ -26,13 +26,23 @@ class SaliconDataset:
     def __init__(self, images, saliencymaps, fixationmaps=None):
         self.images = np.asarray(images)
         self.saliencymaps = np.asarray(saliencymaps)
-        self.fixationmaps = (np.asarray(fixationmaps, dtype=object)
-                             if fixationmaps is not None else None)
+        if fixationmaps is not None:
+            # build a 1-D object array by assignment: np.asarray(...,
+            # dtype=object) crashes on partially-ragged per-image maps
+            # and silently boxes equal-shape ones element-wise
+            fm = np.empty(len(fixationmaps), dtype=object)
+            for i, m in enumerate(fixationmaps):
+                fm[i] = m
+            self.fixationmaps = fm
+        else:
+            self.fixationmaps = None
         self.epochs_completed = 0
         self._index = 0
         assert len(self.images) > 0
-        self._perm = np.random.RandomState(3024202).permutation(
-            len(self.images))
+        # dataset-owned RNG so epoch reshuffles are reproducible too (the
+        # global np.random would make runs diverge from epoch 2 onward)
+        self._rng = np.random.RandomState(3024202)
+        self._perm = self._rng.permutation(len(self.images))
 
     def __len__(self) -> int:
         return len(self.images)
@@ -45,7 +55,7 @@ class SaliconDataset:
         self._index += batch_size
         if self._index > len(self):
             self.epochs_completed += 1
-            self._perm = np.random.permutation(len(self))
+            self._perm = self._rng.permutation(len(self))
             start = 0
             self._index = batch_size
             assert batch_size <= len(self)

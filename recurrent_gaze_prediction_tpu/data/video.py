@@ -36,12 +36,20 @@ def _decoder_backend():
     except ImportError:
         pass
     try:
-        import imageio
+        import imageio  # noqa: F401
 
-        # probe for a video-capable plugin
-        if any(name in imageio.config.known_plugins
-               for name in ("FFMPEG", "pyav")):
+        # known_plugins lists every plugin imageio knows ABOUT, installed
+        # or not — probe the actual backend packages instead
+        try:
+            import imageio_ffmpeg  # noqa: F401
             return "imageio"
+        except ImportError:
+            pass
+        try:
+            import av  # noqa: F401
+            return "imageio"
+        except ImportError:
+            pass
     except ImportError:
         pass
     return None

@@ -76,6 +76,15 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
     """Mean per-frame scores. `on_device=True` runs the batched TPU metrics
     at map scale; `on_device=False` runs the NumPy protocol (including
     original-scale resize when fixation maps are larger)."""
+    ragged = (fixationmaps.dtype == np.dtype(object)
+              if isinstance(fixationmaps, np.ndarray)
+              else len({np.shape(f) for f in fixationmaps}) > 1)
+    if on_device and ragged:
+        # ragged original-scale maps cannot form one device array; the
+        # NumPy protocol is the documented path for them
+        log.warn("fixation maps are ragged (mixed resolutions): falling "
+                 "back to the NumPy metric protocol")
+        on_device = False
     if on_device:
         key = key if key is not None else jax.random.PRNGKey(0)
         scores = metrics_jax.evaluate_batch(

@@ -37,6 +37,10 @@ def sweep_checkpoints(train_dir: str, dataset: ClipDataset,
 
     results: dict[int, dict] = {}
     for step in sorted(ckpt.manager.all_steps()):
+        # same data window for every checkpoint: iter_batches advances the
+        # dataset's persistent cursor, which would otherwise make the
+        # per-checkpoint scores incomparable
+        dataset.reset()
         restored = ckpt.restore_step(step, abstract)
         _, scores = evaluator.generate_and_evaluate(
             predict, restored.params, dataset, model.cfg.batch_size,

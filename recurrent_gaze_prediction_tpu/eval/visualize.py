@@ -29,7 +29,9 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
     lo, hi = img.min(), img.max()
     if hi > lo:
         img = (img - lo) / (hi - lo)
-    return (img * 255).astype(np.uint8)
+    # constant tiles skip normalization; clip so a constant value > 1
+    # does not WRAP modulo 256 in the uint8 cast
+    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
 def imshow_grid(maps: np.ndarray, ncols: int = 8,
@@ -60,11 +62,19 @@ def save_grid(path: str, maps: np.ndarray, ncols: int = 8) -> None:
 
 
 def visualize_outputs(train_dir: str, out_dir: Optional[str] = None,
-                      max_instances: int = 8) -> dict:
+                      max_instances: int = 8,
+                      data_root: Optional[str] = None) -> dict:
     """Resurrect a run (config.json + latest checkpoint), run inference on
-    the validation data and dump input/gt/pred grids."""
+    the run's validation data and dump input/gt/pred grids.
+
+    For real datasets (exp.dataset != synthetic) pass `data_root` like
+    the CLIs do; without it the function falls back to synthetic clips
+    with a loud warning (the reference resurrects the real split,
+    `visualize_output.py:98-150`).
+    """
     import jax
 
+    from ..data import crc as crc_data
     from ..data import synthetic
     from ..registry import create_model
     from ..train import Checkpointer, create_train_state, make_predict_fn
@@ -79,11 +89,22 @@ def visualize_outputs(train_dir: str, out_dir: Optional[str] = None,
     if restored is not None:
         state = restored
 
-    dataset = synthetic.make_splits(
-        n_train=2, n_valid=max(max_instances, model.cfg.batch_size),
-        n_test=2, t=model.cfg.n_lstm_steps,
-        gazemap_hw=(model.cfg.gazemap_height, model.cfg.gazemap_width),
-        seed=exp.seed).valid
+    gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+    if exp.dataset != "synthetic" and data_root:
+        layouts = crc_data.layouts_for(exp.dataset, data_root)
+        dataset = crc_data.read_crc_data_sets(
+            model.cfg.image_height, model.cfg.image_width, gh, gw,
+            dataset=exp.dataset, layouts=layouts, split_modes="valid",
+            seq_len=model.cfg.n_lstm_steps, use_cache=False,
+            max_folders=max(max_instances, model.cfg.batch_size)).valid
+    else:
+        if exp.dataset != "synthetic":
+            log.warn("run trained on %s but no data_root given: grids "
+                     "will show inference on SYNTHETIC clips", exp.dataset)
+        dataset = synthetic.make_splits(
+            n_train=2, n_valid=max(max_instances, model.cfg.batch_size),
+            n_test=2, t=model.cfg.n_lstm_steps,
+            gazemap_hw=(gh, gw), seed=exp.seed).valid
 
     predict = make_predict_fn(model)
     ret = evaluator.generate(predict, state.params, dataset,

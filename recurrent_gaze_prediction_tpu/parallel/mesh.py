@@ -72,16 +72,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 _MODEL_SHARDED_LEAVES = ("fc1_w", "fc2_w", "proj_c3d_W", "proj_out_W")
 
 
-def param_spec(path: tuple, leaf: Any, model_parallel: bool) -> P:
+def param_spec(path: tuple, leaf: Any, model_parallel: bool,
+               model_axis_size: int = 2) -> P:
     """Sharding rule per parameter leaf: last dim of wide FC kernels over
-    "model"; everything else replicated."""
+    "model" when it divides evenly by the ACTUAL model-axis size;
+    everything else replicated."""
     if not model_parallel:
         return P()
     name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
     if name in _MODEL_SHARDED_LEAVES and np.ndim(leaf) >= 2:
         ncols = leaf.shape[-1]
         return P(*([None] * (np.ndim(leaf) - 1)), MODEL_AXIS) \
-            if ncols % 2 == 0 else P()
+            if ncols % model_axis_size == 0 else P()
     return P()
 
 
@@ -93,7 +95,8 @@ def params_shardings(params: Any, mesh: Mesh,
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     shardings = [
-        NamedSharding(mesh, param_spec(path, leaf, model_parallel))
+        NamedSharding(mesh, param_spec(path, leaf, model_parallel,
+                                       mesh.shape[MODEL_AXIS]))
         for path, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import pytest
 import numpy as np
 
 from recurrent_gaze_prediction_tpu.config import ExperimentConfig
@@ -114,3 +115,43 @@ def test_mfu_accounting():
         assert abs(mfu_lib.mfu(1e9, 10.0, _D()) - 0.1) < 1e-9
     finally:
         del mfu_lib.PEAK_FLOPS_PER_CHIP["FakeChip"]
+
+
+def test_prefetch_propagates_worker_errors():
+    """A crash in the prefetch worker must surface in the consumer, not
+    leave q.get() blocked forever (code-review r2 finding)."""
+    from recurrent_gaze_prediction_tpu.data.datasets import ClipDataset
+
+    n, t = 4, 2
+    data = ClipDataset(
+        frames=np.zeros((n, t, 8, 8, 3), np.float32),
+        gazemaps=np.zeros((n, t, 7, 7), np.float32),
+        fixationmaps=np.zeros((n, t, 7, 7), np.float32),
+        c3d=np.zeros((n, t, 4, 7, 7), np.float32),
+        pupils=np.zeros((n, t), np.float32),
+        clipnames=["c"] * n)
+    # batch_size > dataset size trips next_batch's assertion in the worker
+    it = prefetch_batches(data, 64, max_batches=3)
+    with pytest.raises(AssertionError):
+        next(it)
+
+
+def test_clipdataset_reset_rewinds_cursor():
+    """reset() makes checkpoint sweeps score every checkpoint on the
+    same data window."""
+    from recurrent_gaze_prediction_tpu.data.datasets import ClipDataset
+
+    n, t = 6, 2
+    data = ClipDataset(
+        frames=np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1, 1)
+        * np.ones((n, t, 2, 2, 3), np.float32),
+        gazemaps=np.zeros((n, t, 7, 7), np.float32),
+        fixationmaps=np.zeros((n, t, 7, 7), np.float32),
+        c3d=np.zeros((n, t, 4, 7, 7), np.float32),
+        pupils=np.zeros((n, t), np.float32),
+        clipnames=[str(i) for i in range(n)])
+    first = data.next_batch(2)["clipnames"]
+    data.next_batch(2)
+    data.reset()
+    again = data.next_batch(2)["clipnames"]
+    assert first == again == ["0", "1"]
