@@ -112,6 +112,12 @@ def test_crcxh2_mixed_original_scale_fixations(tmp_path):
             metrics_np.build_other_map_union(
                 list(fix), rng=np.random.RandomState(0))
 
+    # evaluate() with the default on_device=True must fall back to the
+    # NumPy protocol on ragged maps instead of crashing jnp.asarray
+    scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
+                                fix, metrics=("cc", "sim"), on_device=True)
+    assert np.isfinite(scores["cc"]) and np.isfinite(scores["sim"])
+
 
 def test_sharded_fused_pipeline_on_mesh():
     """The raw-video -> C3D -> GRCN pipeline jit-partitioned over the
