@@ -50,9 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="optionally dump width-400 frame JPEGs per "
                              "video, like the reference's extract_frames "
                              "(`extract_C3D_features.py:129-178`)")
+    from ..models.c3d import FEATURE_LAYERS
+
     parser.add_argument("--feature_layer", default="conv5b",
-                        help="network tap to export (conv5b/pool5/fc6/"
-                             "fc7/fc8/prob)")
+                        choices=list(FEATURE_LAYERS),
+                        help="network tap to export")
     parser.add_argument("--caffemodel", default=None,
                         help="Sports-1M .caffemodel to load weights from")
     parser.add_argument("--params", default=None,
@@ -68,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bfloat16", "float32"],
                         help="conv tower compute dtype (bfloat16 rides "
                              "the MXU; float32 for bit-exactness)")
+    parser.add_argument("--bgr", default=None, action="store_true",
+                        help="reorder decoded RGB frames to BGR before the "
+                             "network (Caffe/OpenCV trained order). Default:"
+                             " ON when --caffemodel is given, OFF otherwise")
+    parser.add_argument("--no_bgr", dest="bgr", action="store_false")
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--reverse", action="store_true",
                         help="sweep the video list from the end "
@@ -110,9 +117,10 @@ def _blob_layout(features: np.ndarray, feature_layer: str) -> np.ndarray:
 
 def extract_video(c3d_params, video_path: str, out_file: str, *,
                   feature_layer: str = "conv5b", batch_windows: int = 16,
-                  compute_dtype: str = "bfloat16",
+                  compute_dtype: str = "bfloat16", bgr: bool = False,
                   frames_dir: Optional[str] = None,
                   attention_maps: Optional[np.ndarray] = None,
+                  max_inflight_chunks: int = 4,
                   _jit_cache: Optional[dict] = None) -> int:
     """Decode one video, extract per-window features, write `.c3d`.
 
@@ -170,21 +178,25 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
         return w
 
     cache = _jit_cache if _jit_cache is not None else {}
-    key = (arr.shape[1:3], feature_layer, compute_dtype)
+    key = (arr.shape[1:3], feature_layer, compute_dtype, bgr)
     fn = cache.get(key)
     if fn is None:
-        import jax.numpy as _jnp
-
-        cdt = _jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32
+        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         fn = jax.jit(lambda p, w: c3d_model.apply(
-            p, c3d_model.preprocess_frames(w), feature_layer=feature_layer,
-            compute_dtype=cdt))
+            p, c3d_model.preprocess_frames(w, bgr=bgr),
+            feature_layer=feature_layer, compute_dtype=cdt))
         cache[key] = fn
 
-    # dispatch every chunk before collecting any result: jax dispatch is
-    # async, so chunk k+1's host->device transfer overlaps chunk k's
-    # compute instead of paying a synchronous roundtrip per chunk
+    # bounded async pipeline: keep a few chunks in flight so the next
+    # chunk's host->device transfer overlaps the current chunk's compute,
+    # without pinning every chunk's device output for a long video
     pending = []
+    blobs = []
+
+    def collect(valid, out):
+        feats = np.asarray(out)[:valid]
+        blobs.extend(_blob_layout(f, feature_layer) for f in feats)
+
     for cstart in range(0, len(starts), batch_windows):
         chunk_starts = starts[cstart:cstart + batch_windows]
         chunk = np.stack([window_at(s) for s in chunk_starts])
@@ -194,11 +206,10 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
                            chunk.dtype)
             chunk = np.concatenate([chunk, pad])
         pending.append((valid, fn(c3d_params, jnp.asarray(chunk))))
-
-    blobs = []
-    for valid, out in pending:
-        feats = np.asarray(out)[:valid]
-        blobs.extend(_blob_layout(f, feature_layer) for f in feats)
+        if len(pending) > max_inflight_chunks:
+            collect(*pending.pop(0))
+    for item in pending:
+        collect(*item)
 
     codec.write_c3d_file(out_file, blobs)
     return len(blobs)
@@ -225,6 +236,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     mkdir_p(args.out_dir)
 
     c3d_params = _load_params(args)
+    # Caffe/OpenCV-trained weights saw BGR frames (models/c3d.py
+    # preprocess_frames doc); decoded frames are RGB, so reorder by
+    # default exactly when real caffemodel weights are in play
+    bgr = args.bgr if args.bgr is not None else args.caffemodel is not None
     jit_cache: dict = {}
     n_done = n_skipped = n_failed = 0
     for path in videos:
@@ -240,7 +255,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             if not os.path.exists(map_file):
                 log.warn("no gaze map for %s (%s): skipping", video_id,
                          map_file)
-                n_failed += 1
+                n_skipped += 1
                 continue
             attention = np.load(map_file).astype(np.float32)
         try:
@@ -248,7 +263,7 @@ def main(argv: Optional[list[str]] = None) -> int:
                 c3d_params, path, out_file,
                 feature_layer=args.feature_layer,
                 batch_windows=args.batch_windows,
-                compute_dtype=args.compute_dtype,
+                compute_dtype=args.compute_dtype, bgr=bgr,
                 frames_dir=args.frames_dir, attention_maps=attention,
                 _jit_cache=jit_cache)
         except Exception as e:

@@ -43,13 +43,24 @@ class GazeServer:
     def __init__(self, predict_fn: Callable,
                  input_keys: Sequence[str] = ("frames", "c3d"), *,
                  host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 32, max_wait_ms: float = 5.0):
+                 max_batch: int = 32, max_wait_ms: float = 5.0,
+                 input_ndims: Optional[dict] = None,
+                 max_body_bytes: int = 256 * 1024 * 1024,
+                 request_timeout: float = 120.0):
+        """`input_ndims` maps input key -> expected UNBATCHED ndim; a
+        request violating it gets its own 400 instead of poisoning the
+        whole micro-batch (every co-batched Future fails together when
+        np.stack or the program rejects one clip's shapes)."""
         self.input_keys = tuple(input_keys)
+        self.input_ndims = dict(input_ndims or {})
         self.batcher = DynamicBatcher(predict_fn, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            timeout = request_timeout  # socket timeout: a client lying
+            # about Content-Length must not pin a handler thread forever
+
             def log_message(self, fmt, *args):  # route through our logger
                 log.info("http: " + fmt, *args)
 
@@ -79,6 +90,10 @@ class GazeServer:
                     return self._reply_json(404, {"error": "not found"})
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > max_body_bytes:
+                        return self._reply_json(413, {
+                            "error": f"body {length} bytes exceeds the "
+                                     f"{max_body_bytes} limit"})
                     blob = np.load(io.BytesIO(self.rfile.read(length)),
                                    allow_pickle=False)
                     try:
@@ -87,6 +102,13 @@ class GazeServer:
                         return self._reply_json(400, {
                             "error": f"missing input {e}; need "
                                      f"{list(server.input_keys)}"})
+                    for k, a in zip(server.input_keys, arrays):
+                        want = server.input_ndims.get(k)
+                        if want is not None and a.ndim != want:
+                            return self._reply_json(400, {
+                                "error": f"input {k} must be {want}-D "
+                                         f"(ONE clip, no batch dim); got "
+                                         f"shape {list(a.shape)}"})
                 except Exception as e:
                     return self._reply_json(400, {"error": str(e)})
                 try:
@@ -99,6 +121,7 @@ class GazeServer:
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     @property
     def address(self) -> tuple[str, int]:
@@ -106,6 +129,7 @@ class GazeServer:
 
     def start(self) -> "GazeServer":
         """Serve on a daemon thread; returns self (address is then bound)."""
+        self._serving = True
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True, name="rgp-http")
         self._thread.start()
@@ -116,10 +140,14 @@ class GazeServer:
     def serve_forever(self) -> None:
         log.infov("serving on http://%s:%d (inputs: %s)", *self.address,
                   ",".join(self.input_keys))
+        self._serving = True
         self._httpd.serve_forever()
 
     def close(self) -> None:
-        self._httpd.shutdown()
+        # BaseServer.shutdown() waits on an event only serve_forever sets;
+        # calling it on a never-started server would block forever
+        if self._serving:
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
@@ -147,12 +175,14 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
     bundle = load_bundle(bundle_dir)
     if program == "predict":
         fn, keys = bundle.predict, ("frames", "c3d")
+        ndims = {"frames": 4, "c3d": 4}  # [T,H,W,3] / [T,1024,7,7]
     elif program == "fused":
         fn, keys = bundle.predict_fused, ("video",)
+        ndims = {"video": 4}             # [F,H,W,3]
     else:
         raise ValueError(f"program must be predict|fused, got {program}")
     if program not in bundle.programs:
         raise ValueError(f"bundle has no '{program}' program "
                          f"(has: {bundle.programs})")
     return GazeServer(fn, keys, host=host, port=port, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms)
+                      max_wait_ms=max_wait_ms, input_ndims=ndims)

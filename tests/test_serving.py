@@ -273,6 +273,16 @@ def test_http_server_serves_bundle(tmp_path, small_grcn):
         resp = conn.getresponse()
         assert resp.status == 400
         assert "c3d" in json.loads(resp.read())["error"]
+
+        # stray batch dim -> per-request 400, NOT a poisoned micro-batch
+        body = io.BytesIO()
+        np.savez_compressed(body,
+                            frames=np.zeros((1, T, 98, 98, 3), np.float32),
+                            c3d=np.zeros((1, T, 1024, 7, 7), np.float32))
+        conn.request("POST", "/predict", body.getvalue(), {})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "no batch dim" in json.loads(resp.read())["error"]
         conn.close()
 
 

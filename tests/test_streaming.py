@@ -317,8 +317,11 @@ def test_extract_features_cli(tmp_path):
     raw = codec.read_c3d_file(os.path.join(fc_out, "clipB.c3d"))
     assert raw.shape == (2, 4096, 1, 1, 1)
 
-    # missing attention map -> failure is REPORTED via exit code
+    # missing attention map -> the video is SKIPPED (reported in the
+    # summary, no artifact written, exit 0 — a missing map is expected
+    # when sweeping a corpus, unlike a decode/compute failure)
     rc = extract_features.main([
         "--videos", os.path.join(vids, "clipB.avi"), "--out_dir",
         str(tmp_path / "c3d_att2"), "--attention_maps_root", att_root])
-    assert rc == 1
+    assert rc == 0
+    assert not os.path.exists(str(tmp_path / "c3d_att2" / "clipB.c3d"))
