@@ -43,10 +43,61 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream_chunk_len", default=None, type=int,
                         help="export a carried-state streaming chunk step "
                              "(gaze_grcn family only)")
+    parser.add_argument("--int8", action="store_true",
+                        help="additionally export the fused program with "
+                             "an int8-quantized C3D tower (+8%% on v5e; "
+                             "requires --caffemodel)")
+    parser.add_argument("--calib_videos", default=None,
+                        help="directory of videos to calibrate int8 "
+                             "activation scales on (recommended; falls "
+                             "back to synthetic noise with a warning)")
+    parser.add_argument("--calib_windows", default=8, type=int,
+                        help="max 16-frame windows used for calibration")
     parser.add_argument("--static_batch", action="store_true",
                         help="export with batch fixed at 1 instead of "
                              "symbolic")
     return parser
+
+
+def _load_calibration_clips(calib_videos: Optional[str], max_windows: int):
+    """Decode up to `max_windows` 16-frame windows from a directory of
+    videos and preprocess them as C3D network inputs (resize 128x171,
+    center-crop 112, mean-subtract). Returns None (-> synthetic fallback
+    in `quantize_for_pipeline`, with a warning) when no directory given
+    or no frames decode."""
+    if not calib_videos:
+        return None
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from ..data import video as video_mod
+    from ..models import c3d as c3d_model
+
+    windows = []
+    paths = sorted(p for p in glob.glob(os.path.join(calib_videos, "*"))
+                   if os.path.isfile(p))
+    for path in paths:
+        try:
+            frames = [np.asarray(f, np.float32)
+                      for f in video_mod.decode_video(path)]
+        except Exception as e:
+            log.warn("calibration: cannot decode %s: %s", path, e)
+            continue
+        for start in range(0, len(frames) - 15, 16):
+            windows.append(np.stack(frames[start:start + 16]))
+            if len(windows) >= max_windows:
+                break
+        if len(windows) >= max_windows:
+            break
+    if not windows:
+        log.warn("calibration: no decodable 16-frame windows under %s",
+                 calib_videos)
+        return None
+    log.infov("int8 calibration on %d real windows from %s",
+              len(windows), calib_videos)
+    return c3d_model.preprocess_frames(jnp.asarray(np.stack(windows)))
 
 
 def main(argv: Optional[list[str]] = None) -> int:
@@ -75,10 +126,22 @@ def main(argv: Optional[list[str]] = None) -> int:
         c3d_params = c3d_params_from_caffemodel(args.caffemodel)
         num_frames = args.fused_num_frames
 
+    int8_qparams = None
+    if args.int8:
+        if c3d_params is None:
+            log.error("--int8 quantizes the C3D tower; pass --caffemodel")
+            return 1
+        from ..models.quant import quantize_for_pipeline
+
+        calib = _load_calibration_clips(args.calib_videos,
+                                        args.calib_windows)
+        int8_qparams = quantize_for_pipeline(c3d_params, calib_clips=calib)
+
     mkdir_p(args.out_dir)
     save_bundle(args.out_dir, model, restored.params,
                 c3d_params=c3d_params, num_frames=num_frames,
                 stream_chunk_len=args.stream_chunk_len,
+                int8_qparams=int8_qparams,
                 platforms=tuple(p.strip()
                                 for p in args.platforms.split(",") if p),
                 symbolic_batch=not args.static_batch)

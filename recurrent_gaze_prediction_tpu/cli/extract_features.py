@@ -115,6 +115,21 @@ def _blob_layout(features: np.ndarray, feature_layer: str) -> np.ndarray:
     return features.reshape(-1, 1, 1, 1)
 
 
+def attention_frame_index(n_frames: int, n_maps: int) -> np.ndarray:
+    """Raw-frame -> gaze-map index for attention weighting.
+
+    Gaze maps come one per SUBSAMPLED model frame: map k was produced for
+    raw frame 15 + 5k (the `[15::5]` protocol, reference
+    `crc_input_data_seq.py:186` / `extract_map.py` outputs), so raw frame
+    i takes map round((i-15)/5) clipped into range. A uniform linspace
+    stretch would systematically hand early frames a map ~15 frames ahead.
+    (The reference's own `add_attention` is broken via np.resize,
+    `extract_C3D_features.py:739-761`; this is the corrected alignment.)
+    """
+    return np.clip(np.round((np.arange(n_frames) - 15) / 5.0).astype(int),
+                   0, n_maps - 1)
+
+
 def extract_video(c3d_params, video_path: str, out_file: str, *,
                   feature_layer: str = "conv5b", batch_windows: int = 16,
                   compute_dtype: str = "bfloat16", bgr: bool = False,
@@ -150,16 +165,16 @@ def extract_video(c3d_params, video_path: str, out_file: str, *,
     att_idx = None
     if attention_maps is not None:
         # gaze maps come one per SUBSAMPLED model frame ([15::5], e.g.
-        # extract_map output); stretch to the raw frame count by nearest
-        # index so every decoded frame gets a weight. Max-normalize so
-        # softmax probability maps (cells ~1/2401) weight RELATIVELY
-        # instead of blacking the frame out.
+        # extract_map output): map k was predicted for raw frame 15+5k, so
+        # raw frame i takes map round((i-15)/5) clipped into range —
+        # NOT a uniform linspace stretch, which would hand early frames a
+        # map ~15 frames ahead. Max-normalize so softmax probability maps
+        # (cells ~1/2401) weight RELATIVELY instead of blacking the frame
+        # out.
         attention_maps = np.asarray(attention_maps, np.float32)
         peaks = attention_maps.max(axis=(-2, -1), keepdims=True)
         attention_maps = attention_maps / np.maximum(peaks, 1e-12)
-        att_idx = np.clip(np.round(
-            np.linspace(0, len(attention_maps) - 1, len(arr))).astype(int),
-            0, len(attention_maps) - 1)
+        att_idx = attention_frame_index(len(arr), len(attention_maps))
 
     # every start in range(0, num_frames, 16) emits a window like the
     # reference (`extract_C3D_features.py:866`); the tail is zero-padded

@@ -55,7 +55,13 @@ class OptimizerConfig:
 
 @dataclass
 class ModelConfig:
-    """Shared model geometry and loss selection."""
+    """Shared model geometry and loss selection.
+
+    Assignments after construction are tracked in `explicit_fields()` so
+    `registry.create_model` can tell "user set batch_size to the dataclass
+    default on purpose" apart from "never touched" and not clobber it with
+    the per-model default.
+    """
 
     name: str = "gaze_grcn"
     image_height: int = 98
@@ -83,6 +89,21 @@ class ModelConfig:
     # recomputed state convs fuse into the backward (BENCHMARKS.md
     # "Long-T memory study") — so it is the default.
     remat_cells: bool = True
+
+    def __post_init__(self):
+        # created AFTER dataclass __init__'s setattr calls, so construction
+        # itself marks nothing explicit; only later assignments are tracked
+        object.__setattr__(self, "_explicit", set())
+
+    def __setattr__(self, key, value):
+        tracked = getattr(self, "_explicit", None)
+        if tracked is not None and not key.startswith("_"):
+            tracked.add(key)
+        object.__setattr__(self, key, value)
+
+    def explicit_fields(self) -> set:
+        """Field names assigned after construction (e.g. via CLI overrides)."""
+        return set(getattr(self, "_explicit", ()))
 
 
 @dataclass
@@ -171,6 +192,25 @@ class ExperimentConfig:
                 raise AttributeError(f"Unknown config key: {path}")
             current = getattr(obj, leaf)
             if current is not None and not isinstance(current, type(value)):
-                value = type(current)(value)
+                value = _coerce(value, type(current), path)
             setattr(obj, leaf, value)
         return self
+
+
+def _coerce(value: Any, target: type, path: str) -> Any:
+    """Coerce a CLI-string override to the config field's type.
+
+    `bool("False")` is True, so bools get a real parser instead of the
+    constructor; everything else keeps `type(current)(value)` semantics.
+    """
+    if target is bool:
+        if isinstance(value, str):
+            low = value.strip().lower()
+            if low in ("true", "1", "yes", "on"):
+                return True
+            if low in ("false", "0", "no", "off"):
+                return False
+            raise ValueError(
+                f"Cannot parse {value!r} as bool for config key {path}")
+        return bool(value)
+    return target(value)

@@ -25,6 +25,7 @@ with the same protocol, minus the hardcoded `/data1` paths (a
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
@@ -293,9 +294,14 @@ def read_crc_data_sets(image_height: int = 98, image_width: int = 98,
         cache_file = None
         if use_cache and cache_dir is not None:
             mkdir_p(cache_dir)
+            # key includes the data roots: one cache_dir reused across two
+            # --data_root corpora must not serve the wrong arrays
+            roots = "|".join(sorted(
+                os.path.abspath(lay.root) for lay in layouts.values()))
+            root_key = hashlib.sha1(roots.encode()).hexdigest()[:10]
             cache_file = os.path.join(
                 cache_dir,
-                f"datasets_{dataset}_{image_height}_{image_width}_"
+                f"datasets_{dataset}_{root_key}_{image_height}_{image_width}_"
                 f"{gazemap_height}_{gazemap_width}_{seq_len}"
                 + ("_origfix" if fixation_original_scale else "")
                 + f".{mode}.npz")

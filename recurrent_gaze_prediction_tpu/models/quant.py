@@ -135,6 +135,13 @@ def quantize_for_pipeline(c3d_params: dict, *,
     """One-call quantization for serving: calibrate (on provided clips or
     synthetic pixel statistics) and return int8 qparams."""
     if calib_clips is None:
+        from ..utils.logging import log
+
+        log.warn(
+            "int8 calibration falling back to synthetic uniform-noise clips; "
+            "deep-layer activation ranges under noise can differ from real "
+            "video. Pass calib_clips (real decoded clips) for production "
+            "bundles.")
         rng = np.random.RandomState(seed)
         raw = rng.randint(0, 255, (4, 16, 128, 171, 3)).astype(np.float32)
         calib_clips = c3d_model.preprocess_frames(jnp.asarray(raw))

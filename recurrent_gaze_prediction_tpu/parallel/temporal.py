@@ -71,6 +71,17 @@ def make_temporal_sharded_fused_predict(
                 f"temporal sharding needs batch*windows ({b}*{n_windows}) "
                 f"divisible by the data axis ({n_data}); pad the video so "
                 f"batch*windows is a multiple of {n_data}")
+        # in_shardings splits the RAW frame axis F (= windows*16) across
+        # "data" before the fold, so F itself must divide too; e.g. b=32,
+        # n_windows=1 on a 32-wide data axis passes the folded check but
+        # F=16 cannot split 32 ways
+        if video_frames.shape[1] % n_data:
+            raise ValueError(
+                f"temporal sharding splits the frame axis "
+                f"({video_frames.shape[1]} frames) over the data axis "
+                f"({n_data}); frame count must be a multiple of {n_data} "
+                f"(add batch so clips, not frames, carry the parallelism, "
+                f"or pad frames to a multiple of 16*{n_data})")
         key = (jax.tree_util.tree_structure(gaze_params),
                video_frames.shape)
         jitted = cache.get(key)

@@ -35,18 +35,25 @@ def model_defaults(name: str) -> dict:
 
 
 def create_model(name: str, cfg: ModelConfig | None = None, **overrides):
-    """Build a GazeModel. Precedence: explicit overrides > user cfg fields
-    that differ from dataclass defaults > per-model defaults."""
+    """Build a GazeModel. Precedence: explicit kwargs > cfg fields the user
+    assigned after construction (tracked by `ModelConfig.explicit_fields`,
+    so setting a field to its dataclass default on purpose still wins) >
+    cfg fields that differ from the dataclass default > per-model defaults.
+    """
     if name not in _REGISTRY:
         raise KeyError(
             f"Unknown model '{name}'. Available: {available_models()}")
     builder, defaults = _REGISTRY[name]
 
     base = cfg if cfg is not None else ModelConfig()
+    explicit = base.explicit_fields() if hasattr(
+        base, "explicit_fields") else set()
     merged = dataclasses.replace(base)
     field_defaults = ModelConfig()
     for key, value in defaults.items():
         # only apply the model default when the user hasn't customized it
+        if key in explicit:
+            continue
         if getattr(merged, key) == getattr(field_defaults, key):
             setattr(merged, key, value)
     for key, value in overrides.items():

@@ -47,12 +47,13 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_fn: Callable, *, max_batch: int = 32,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, join_timeout_s: float = 30.0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._predict = predict_fn
         self._max_batch = max_batch
         self._max_wait_s = max_wait_ms / 1e3
+        self._join_timeout_s = join_timeout_s
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         # orders submit() vs close(): the shutdown sentinel must be the
@@ -88,7 +89,13 @@ class DynamicBatcher:
                 return
             self._closed = True
             self._queue.put(None)  # guaranteed last item (see _lock)
-        self._worker.join(timeout=30)
+        self._worker.join(timeout=self._join_timeout_s)
+        if self._worker.is_alive():
+            # A slow predict_fn outlived the join timeout. The worker is
+            # still draining the queue and will exit at the sentinel —
+            # draining here would steal that sentinel (deadlocking the
+            # worker) and fail requests it would have served.
+            return
         # Defensive drain: if the worker died (predict_fn crash beyond
         # _dispatch's handler) items could remain; fail their futures
         # instead of letting result() block forever.

@@ -157,6 +157,38 @@ def export_fused_predict(model: GazeModel, *, num_frames: int,
                            (video, True)], platforms, symbolic_batch)
 
 
+def export_fused_predict_int8(model: GazeModel, qparams, *, num_frames: int,
+                              batch_size: int = 1, platforms=("cpu", "tpu"),
+                              compute_dtype=jnp.float32,
+                              video_hw: tuple[int, int] = (128, 171),
+                              symbolic_batch: bool = True
+                              ) -> jax_export.Exported:
+    """Export the fused pipeline with the INT8 C3D tower
+    `fn(qparams, gaze_params, video) -> maps` (`models/quant.apply_int8`
+    replaces the fp32/bf16 conv tower via the `c3d_forward` hook; +8%
+    measured over bf16 on v5e, BENCHMARKS.md "int8 quantized C3D").
+    `qparams` come from `models.quant.quantize_for_pipeline`."""
+    from ..models.pipeline import extract_and_predict
+    from ..models.quant import apply_int8
+
+    model = _portable_model(model)
+    gaze_params = jax.eval_shape(
+        model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    q_struct = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        qparams)
+    video = jax.ShapeDtypeStruct((batch_size, num_frames) + tuple(video_hw)
+                                 + (3,), jnp.float32)
+
+    def fn(qp, gp, v):
+        return extract_and_predict(
+            qp, gp, model, v, compute_dtype=compute_dtype,
+            c3d_forward=lambda p, clips: apply_int8(p, clips))
+
+    return _export_fn(fn, [(q_struct, False), (gaze_params, False),
+                           (video, True)], platforms, symbolic_batch)
+
+
 def export_stream_step(model: GazeModel, *, chunk_len: int,
                        batch_size: int = 1, platforms=("cpu", "tpu"),
                        symbolic_batch: bool = True) -> jax_export.Exported:
@@ -184,6 +216,7 @@ def export_stream_step(model: GazeModel, *, chunk_len: int,
 def save_bundle(path: str, model: GazeModel, gaze_params, *,
                 c3d_params=None, num_frames: Optional[int] = None,
                 stream_chunk_len: Optional[int] = None,
+                int8_qparams=None,
                 platforms=("cpu", "tpu"),
                 video_hw: tuple[int, int] = (128, 171),
                 symbolic_batch: bool = True) -> None:
@@ -191,8 +224,10 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
 
     Always exports the features->maps predict program; additionally exports
     the fused raw-video program when `c3d_params` + `num_frames` are given,
-    and the streaming chunk step when `stream_chunk_len` is given (only for
-    models with a ConvGRU state, i.e. gaze_grcn family).
+    the streaming chunk step when `stream_chunk_len` is given (only for
+    models with a ConvGRU state, i.e. gaze_grcn family), and the int8-C3D
+    fused program when `int8_qparams` (from
+    `models.quant.quantize_for_pipeline`) + `num_frames` are given.
     """
     os.makedirs(path, exist_ok=True)
     manifest: dict[str, Any] = {
@@ -227,6 +262,22 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
         manifest["programs"]["fused"] = {
             "file": "fused.jaxexp",
             "inputs": "c3d_params, params, video [B,F,H,W,3] f32 0..255",
+            "num_frames": num_frames,
+            "video_hw": list(video_hw),
+        }
+
+    if int8_qparams is not None and num_frames is not None:
+        exp_q = export_fused_predict_int8(model, int8_qparams,
+                                          num_frames=num_frames,
+                                          platforms=platforms,
+                                          video_hw=video_hw,
+                                          symbolic_batch=symbolic_batch)
+        with open(os.path.join(path, "fused_int8.jaxexp"), "wb") as f:
+            f.write(exp_q.serialize())
+        _save_npz(os.path.join(path, "qparams_int8.npz"), int8_qparams)
+        manifest["programs"]["fused_int8"] = {
+            "file": "fused_int8.jaxexp",
+            "inputs": "qparams_int8, params, video [B,F,H,W,3] f32 0..255",
             "num_frames": num_frames,
             "video_hw": list(video_hw),
         }
@@ -268,6 +319,10 @@ class ServingBundle:
         c3d_path = os.path.join(path, "c3d_params.npz")
         if os.path.exists(c3d_path):
             self.c3d_params = _load_npz(c3d_path)
+        self.qparams_int8 = None
+        q_path = os.path.join(path, "qparams_int8.npz")
+        if os.path.exists(q_path):
+            self.qparams_int8 = _load_npz(q_path)
 
     @property
     def programs(self) -> list[str]:
@@ -284,6 +339,16 @@ class ServingBundle:
                            "(saved without c3d_params/num_frames)")
         return self._programs["fused"].call(self.c3d_params, self.params,
                                             video)
+
+    def predict_fused_int8(self, video):
+        """[B,F,128,171,3] raw pixels 0..255 -> maps via the int8 C3D
+        tower (map corr >= 0.98 vs the bf16/fp32 tower, asserted in
+        tests/test_quant.py; +8% throughput on v5e)."""
+        if "fused_int8" not in self._programs:
+            raise KeyError("bundle has no fused_int8 program "
+                           "(export with --int8)")
+        return self._programs["fused_int8"].call(self.qparams_int8,
+                                                 self.params, video)
 
     def stream_step(self, state, c3d_chunk):
         """Carried-state chunk step -> (new_state, chunk maps)."""

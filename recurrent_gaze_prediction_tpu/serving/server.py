@@ -179,8 +179,12 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
     elif program == "fused":
         fn, keys = bundle.predict_fused, ("video",)
         ndims = {"video": 4}             # [F,H,W,3]
+    elif program == "fused_int8":
+        fn, keys = bundle.predict_fused_int8, ("video",)
+        ndims = {"video": 4}             # [F,H,W,3]
     else:
-        raise ValueError(f"program must be predict|fused, got {program}")
+        raise ValueError(
+            f"program must be predict|fused|fused_int8, got {program}")
     if program not in bundle.programs:
         raise ValueError(f"bundle has no '{program}' program "
                          f"(has: {bundle.programs})")

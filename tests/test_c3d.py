@@ -9,6 +9,10 @@ from recurrent_gaze_prediction_tpu import registry
 from recurrent_gaze_prediction_tpu.data import codec
 from recurrent_gaze_prediction_tpu.models import c3d, pipeline
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 
 def test_conv5b_feature_shape():
     params = c3d.init_params(jax.random.PRNGKey(0))

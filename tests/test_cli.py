@@ -14,6 +14,10 @@ from recurrent_gaze_prediction_tpu.cli import (
     train_gaze,
 )
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):

@@ -264,3 +264,28 @@ def test_process_gazemap_cli_agent_sharding(tmp_path, monkeypatch):
     with h5py.File(paths[0], "r") as mat:
         user = mat["data"]["user00"]
         assert "gazemap49x49" in user and "fixation_t" in user
+
+
+def test_cache_key_includes_data_root(fake_root, tmp_path):
+    """One cache_dir reused across two --data_root corpora must not serve
+    the wrong arrays (round-2 VERDICT: cache key omitted layout.root)."""
+    import os
+
+    cache_dir = str(tmp_path / "cache")
+    layout = DatasetLayout(root=fake_root)
+    read_crc_data_sets(
+        98, 98, 49, 49, dataset="crc", layouts={"crc": layout},
+        seq_len=8, use_cache=True, cache_dir=cache_dir,
+        split_modes="train", parallel_jobs=2)
+    first = set(os.listdir(cache_dir))
+    assert first, "expected a cache file to be written"
+
+    # same corpus reachable under a DIFFERENT root path -> different key
+    alias = str(tmp_path / "alias_root")
+    os.symlink(fake_root, alias)
+    read_crc_data_sets(
+        98, 98, 49, 49, dataset="crc", layouts={"crc": DatasetLayout(root=alias)},
+        seq_len=8, use_cache=True, cache_dir=cache_dir,
+        split_modes="train", parallel_jobs=2)
+    second = set(os.listdir(cache_dir)) - first
+    assert second, "a different data root must produce a different cache key"

@@ -155,3 +155,43 @@ def test_clipdataset_reset_rewinds_cursor():
     data.reset()
     again = data.next_batch(2)["clipnames"]
     assert first == again == ["0", "1"]
+
+
+def test_config_override_bool_strings():
+    """String "False" must coerce to False, not bool("False")==True
+    (round-2 VERDICT: config.apply_overrides bool coercion)."""
+    exp = ExperimentConfig()
+    exp.apply_overrides({"optimizer.staircase": "False"})
+    assert exp.optimizer.staircase is False
+    exp.apply_overrides({"optimizer.staircase": "true"})
+    assert exp.optimizer.staircase is True
+    exp.apply_overrides({"model.use_flip_batch": "0"})
+    assert exp.model.use_flip_batch is False
+    exp.apply_overrides({"model.use_flip_batch": "yes"})
+    assert exp.model.use_flip_batch is True
+    with pytest.raises(ValueError):
+        exp.apply_overrides({"optimizer.staircase": "maybe"})
+
+
+def test_create_model_explicit_default_wins():
+    """A field the user EXPLICITLY set to its dataclass default must not be
+    clobbered by the per-model default (round-2 VERDICT: create_model
+    default-merge sentinel)."""
+    from recurrent_gaze_prediction_tpu.config import ModelConfig
+    from recurrent_gaze_prediction_tpu.registry import create_model
+
+    # dataclass default n_lstm_steps=42; gaze_rnn77's model default is 35
+    cfg = ModelConfig()
+    cfg.n_lstm_steps = 42  # explicit assignment to the default value
+    model = create_model("gaze_rnn77", cfg)
+    assert model.cfg.n_lstm_steps == 42
+
+    # untouched config still receives the per-model default
+    model2 = create_model("gaze_rnn77", ModelConfig())
+    assert model2.cfg.n_lstm_steps == 35
+
+    # dotted CLI overrides count as explicit too
+    exp = ExperimentConfig()
+    exp.apply_overrides({"model.batch_size": "7"})  # 7 == dataclass default
+    model3 = create_model("gaze_framewise_shallownet", exp.model)
+    assert model3.cfg.batch_size == 7  # model default is 5

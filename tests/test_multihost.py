@@ -16,6 +16,10 @@ import jax
 import numpy as np
 import pytest
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = os.path.join(_REPO, "tests", "multihost_worker.py")
 

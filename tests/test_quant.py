@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from recurrent_gaze_prediction_tpu.models import c3d, quant
+import pytest
+
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def _scaled_params(key=0, factor=12.0):
@@ -86,3 +91,97 @@ def test_pipeline_c3d_forward_hook():
     rgp = c3d.conv5b_to_rgp(feats_ndhwc).reshape(1, 2, 1024, 7, 7)[:, :t]
     want = np.asarray(model.predict(gaze_params, sub, rgp))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_int8_through_serving_surfaces(tmp_path):
+    """round-3: the +8%% int8 path must be reachable from the CLI serving
+    surfaces, not just as a library function. train -> export_serving
+    --int8 (with REAL calibration clips from --calib_videos) -> bundle
+    predict_fused_int8, gated at map corr >= 0.98 vs the fp32 fused
+    program; the HTTP server routes program=fused_int8."""
+    import os
+
+    from recurrent_gaze_prediction_tpu.cli import export_serving, train_gaze
+    from recurrent_gaze_prediction_tpu.compat.caffemodel import (
+        write_caffemodel)
+    from recurrent_gaze_prediction_tpu.serving import load_bundle
+    from recurrent_gaze_prediction_tpu.serving.server import (
+        server_from_bundle)
+
+    cv2 = pytest.importorskip("cv2")
+
+    # --- tiny trained run (f=32 raw frames -> t=2 pipeline steps)
+    train_dir = str(tmp_path / "run")
+    rc = train_gaze.main([
+        "--model", "gaze_grcn", "--dataset", "synthetic",
+        "--max_steps", "2", "--n_lstm_steps", "2", "--batch_size", "2",
+        "--synthetic_clips", "4", "--compute_dtype", "float32",
+        "--train_dir", train_dir,
+    ])
+    assert rc == 0
+
+    # --- fabricated Sports-1M caffemodel (conv tower ingested by the CLI)
+    rng = np.random.RandomState(5)
+    layers = {}
+    in_ch = 3
+    for name, out_ch in c3d.CONV_LAYERS:
+        w = rng.randn(out_ch, in_ch, 3, 3, 3).astype(np.float32)
+        layers[name] = [w / np.sqrt(27.0 * in_ch),  # keep activations sane
+                        0.01 * rng.randn(1, 1, 1, 1, out_ch).astype(
+                            np.float32)]
+        in_ch = out_ch
+    for name, d_in, d_out in c3d.FC_LAYERS:
+        layers[f"{name}-1"] = [
+            np.zeros((d_out, d_in, 1, 1, 1), np.float32),
+            np.zeros((1, 1, 1, 1, d_out), np.float32)]
+    caffemodel = str(tmp_path / "sports1m.caffemodel")
+    write_caffemodel(caffemodel, layers)
+
+    # --- real calibration video
+    calib_dir = str(tmp_path / "calib")
+    os.makedirs(calib_dir)
+    writer = cv2.VideoWriter(os.path.join(calib_dir, "c.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+    assert writer.isOpened()
+    vr = np.random.RandomState(9)
+    for _ in range(16):
+        writer.write(vr.randint(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    out_dir = str(tmp_path / "serving")
+    rc = export_serving.main([
+        "--train_dir", train_dir, "--out_dir", out_dir,
+        "--platforms", "cpu", "--caffemodel", caffemodel,
+        "--fused_num_frames", "32", "--int8",
+        "--calib_videos", calib_dir, "--calib_windows", "1",
+    ])
+    assert rc == 0
+
+    bundle = load_bundle(out_dir)
+    assert "fused_int8" in bundle.programs and "fused" in bundle.programs
+    assert bundle.qparams_int8 is not None
+    video = vr.randint(0, 255, (1, 32, 48, 64, 3)).astype(np.float32)
+    ref = np.asarray(bundle.predict_fused(video))
+    got = np.asarray(bundle.predict_fused_int8(video))
+    assert got.shape == ref.shape == (1, 2, 49, 49)
+    assert np.isfinite(got).all()
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr >= 0.98, f"int8 map corr {corr} < 0.98"
+
+    # the serve surface routes the int8 program
+    import http.client
+    import io
+
+    with server_from_bundle(out_dir, program="fused_int8",
+                            max_wait_ms=5.0).start() as server:
+        host, port = server.address
+        body = io.BytesIO()
+        np.savez_compressed(body, video=video[0])
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        conn.request("POST", "/predict", body.getvalue(),
+                     {"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        served = np.load(io.BytesIO(resp.read()))["gazemaps"]
+        conn.close()
+    np.testing.assert_allclose(served, got[0], rtol=1e-4, atol=1e-5)

@@ -17,6 +17,10 @@ from recurrent_gaze_prediction_tpu.serving import (
     unflatten_params,
 )
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 T = 4
 
 
@@ -344,3 +348,36 @@ def test_serve_cli_subprocess(tmp_path, small_grcn):
         except subprocess.TimeoutExpired:
             proc.kill()
     assert proc.returncode == 0
+
+
+def test_batcher_close_does_not_steal_sentinel_from_slow_worker():
+    """close() with a predict_fn still running past the join timeout must
+    NOT drain the queue (that would consume the shutdown sentinel and
+    deadlock the worker, and fail requests the worker would have served)
+    — round-2 ADVICE batcher.py finding."""
+    import threading
+    import time as _time
+
+    from recurrent_gaze_prediction_tpu.serving.batcher import DynamicBatcher
+
+    release = threading.Event()
+    served = []
+
+    def slow_predict(x):
+        release.wait(10)
+        served.append(x.shape[0])
+        return x * 2.0
+
+    b = DynamicBatcher(slow_predict, max_batch=1, max_wait_ms=1.0,
+                       join_timeout_s=0.2)
+    f1 = b.submit(np.ones((3,), np.float32))  # occupies the worker
+    _time.sleep(0.1)
+    f2 = b.submit(np.ones((3,), np.float32))  # queued behind it
+    b.close()  # join times out while slow_predict blocks
+    release.set()
+    # both requests are served, not failed by a defensive drain
+    np.testing.assert_allclose(f1.result(timeout=10), 2.0)
+    np.testing.assert_allclose(f2.result(timeout=10), 2.0)
+    # and the worker exits at the sentinel instead of blocking forever
+    b._worker.join(timeout=10)
+    assert not b._worker.is_alive()

@@ -21,6 +21,10 @@ from recurrent_gaze_prediction_tpu.parallel import (
 )
 from recurrent_gaze_prediction_tpu.train import create_train_state, make_train_step
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 B, T = 8, 4  # batch divisible by the data axis
 
 
@@ -289,3 +293,29 @@ def test_temporal_sharded_extract_keeps_features_sharded():
     ref = c3d.conv5b_to_rgp(ref).reshape(1, 8, 1024, 7, 7)
     np.testing.assert_allclose(np.asarray(feats), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_temporal_sharded_frame_axis_guard():
+    """b*windows divisible but the RAW frame axis not: must fail with a
+    clear ValueError up front, not an opaque sharding error inside jit
+    (round-2 ADVICE: temporal.py frame-axis validation)."""
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_temporal_sharded_fused_predict,
+    )
+
+    # data axis of 3 does not divide 16 frames/window
+    mesh = make_mesh(data_parallel=3)
+    t = pipeline.pipeline_timesteps(16)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=3,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    # 3 videos x 1 window: folded clip axis 3 % 3 == 0 passes, but the
+    # in_sharding splits the 16-frame axis 3 ways
+    video = jnp.zeros((3, 16, 48, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="frame"):
+        predict = make_temporal_sharded_fused_predict(
+            model, mesh, compute_dtype=jnp.float32)
+        predict(c3d_params, gaze_params, video)

@@ -10,6 +10,10 @@ from recurrent_gaze_prediction_tpu import registry
 from recurrent_gaze_prediction_tpu.data import video
 from recurrent_gaze_prediction_tpu.models import streaming
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 
 def _grcn(t):
     return registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=1,
@@ -325,3 +329,20 @@ def test_extract_features_cli(tmp_path):
         str(tmp_path / "c3d_att2"), "--attention_maps_root", att_root])
     assert rc == 0
     assert not os.path.exists(str(tmp_path / "c3d_att2" / "clipB.c3d"))
+
+
+def test_attention_frame_index_alignment():
+    """Raw frame i maps to gaze map round((i-15)/5) — the [15::5]
+    subsampling protocol — not a uniform stretch (round-2 ADVICE)."""
+    from recurrent_gaze_prediction_tpu.cli.extract_features import (
+        attention_frame_index)
+
+    idx = attention_frame_index(40, 5)  # maps for frames 15,20,25,30,35
+    # frames before the first subsampled frame clamp to map 0
+    assert (idx[:13] == 0).all()
+    # exact correspondences
+    assert idx[15] == 0 and idx[20] == 1 and idx[35] == 4
+    # midpoints round to nearest map
+    assert idx[17] == 0 and idx[18] == 1
+    # tail clamps to the last map
+    assert idx[39] == 4

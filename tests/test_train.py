@@ -27,6 +27,10 @@ from recurrent_gaze_prediction_tpu.train import (
     save_params,
 )
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 B, T = 4, 6
 
 
