@@ -76,6 +76,45 @@ def bench_inference():
     return frames_per_sec, util
 
 
+def bench_inference_int8():
+    """Fused raw-video inference with the int8-quantized C3D tower
+    (`models/quant.py`, reachable via `export_serving --int8` / `serve
+    --program fused_int8`): frames/sec on the same shapes as
+    bench_inference, so the two rows are directly comparable."""
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline, quant
+
+    b, f = 8, 160
+    t = pipeline.pipeline_timesteps(f)
+    gaze_model = registry.create_model("gaze_grcn", n_lstm_steps=t,
+                                       batch_size=b,
+                                       compute_dtype="bfloat16")
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = gaze_model.init(jax.random.PRNGKey(1))
+    qparams = quant.quantize_for_pipeline(c3d_params)
+
+    @jax.jit
+    def step(qp, gp, frames, eps):
+        out = pipeline.extract_and_predict(
+            qp, gp, gaze_model, frames + eps,
+            c3d_forward=lambda p, clips: quant.apply_int8(p, clips))
+        return out.mean() * 1e-6
+
+    frames = jax.random.uniform(jax.random.PRNGKey(2),
+                                (b, f, 128, 171, 3), jnp.float32) * 255.0
+    eps = jnp.float32(0.0)
+    eps = step(qparams, gaze_params, frames, eps)  # compile + warmup
+    float(eps)
+
+    n_iters = 20
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        eps = step(qparams, gaze_params, frames, eps)
+    assert float(eps) != 0.0
+    elapsed = time.perf_counter() - start
+    return b * f * n_iters / elapsed
+
+
 def bench_train_step():
     """Feature-fed gaze_grcn train step at the reference's shape regime
     (T=42): step latency + MFU. State chaining (step i+1 consumes step i's
@@ -122,6 +161,10 @@ def bench_train_step():
 
 def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
+    try:
+        int8_fps = bench_inference_int8()
+    except Exception:
+        int8_fps = None  # int8 conv unsupported on this backend
     train_ms, train_mfu = bench_train_step()
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
@@ -129,6 +172,7 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
         "mfu": round(infer_mfu, 4) if infer_mfu else None,
+        "int8_frames_per_sec": round(int8_fps, 1) if int8_fps else None,
         "train_step_ms": round(train_ms, 2),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
         "device": jax.devices()[0].device_kind,

@@ -41,10 +41,45 @@ def normalize_range(x: np.ndarray) -> np.ndarray:
     return (x - lo) / (hi - lo)
 
 
+# Which cubic resize family the protocol uses. "skimage" reproduces
+# reference-era skimage.transform.resize(order=3) semantics (the default;
+# see _resize_skimage_like); "zoom" keeps scipy.ndimage.zoom (round-1/2
+# behavior). The measured score delta between the families on the
+# protocol fixture is <2e-3 per metric (tests/test_metrics.py::
+# test_resize_family_score_delta, recorded in PARITY.md).
+RESIZE_IMPL = "skimage"
+
+
+def _resize_skimage_like(x: np.ndarray, shape: tuple[int, int],
+                         order: int = 3) -> np.ndarray:
+    """Reference-era `skimage.transform.resize(image, shape, order=3)`.
+
+    skimage (<=0.14, as pinned by the reference's 2017 requirements)
+    implements resize as `warp` with an AffineTransform whose inverse map
+    is corner-anchored pure scaling — output pixel (r, c) samples source
+    coordinate (r * H_in/H_out, c * W_in/W_out) — evaluated with an
+    interpolating cubic spline and constant (cval=0) padding
+    (`/root/reference/evaluation_metrics.py:248,255`). scikit-image is not
+    in this container, so the same map is evaluated directly with
+    `scipy.ndimage.map_coordinates` (the routine modern skimage warp
+    itself delegates to for order>1).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.shape == tuple(shape):
+        return x
+    r = np.arange(shape[0], dtype=np.float64) * (x.shape[0] / shape[0])
+    c = np.arange(shape[1], dtype=np.float64) * (x.shape[1] / shape[1])
+    grid = np.meshgrid(r, c, indexing="ij")
+    return scipy.ndimage.map_coordinates(x, grid, order=order,
+                                         mode="constant", cval=0.0)
+
+
 def _resize(x: np.ndarray, shape: tuple[int, int], order: int = 3) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     if x.shape == tuple(shape):
         return x
+    if RESIZE_IMPL == "skimage":
+        return _resize_skimage_like(x, shape, order)
     zoom = (shape[0] / x.shape[0], shape[1] / x.shape[1])
     return scipy.ndimage.zoom(x, zoom, order=order, mode="nearest")
 

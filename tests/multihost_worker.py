@@ -72,7 +72,8 @@ def main() -> None:
     batch = global_batch_from_host_local(local, mesh)
 
     rng = jax.random.PRNGKey(1)
-    for i in range(3):
+    n_steps = int(os.environ.get("RGP_MULTIHOST_STEPS", "3"))
+    for i in range(n_steps):
         state, metrics = step(state, batch, rng)
         loss = float(jax.device_get(metrics["loss"]))
         print(f"STEP {i} {loss:.8f}", flush=True)

@@ -16,6 +16,10 @@ from recurrent_gaze_prediction_tpu.action import (
     write_record_shard,
 )
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 
 def _fake_records(n=32, seed=0, learnable=True):
     """Synthetic frame records where class c correlates with c3d channel c."""

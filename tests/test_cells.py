@@ -7,6 +7,11 @@ import numpy as np
 
 from recurrent_gaze_prediction_tpu.ops import ConvGRU, ConvLSTM, FlatGRU
 from recurrent_gaze_prediction_tpu.ops.layers import conv2d
+import pytest
+
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def _np_conv_same(x, k):

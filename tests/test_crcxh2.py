@@ -17,6 +17,10 @@ from recurrent_gaze_prediction_tpu.data import (
     read_crc_data_sets,
 )
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 N_FRAMES = 90
 
 

@@ -12,6 +12,11 @@ import numpy as np
 
 from recurrent_gaze_prediction_tpu import registry
 from recurrent_gaze_prediction_tpu.models import shallownet
+import pytest
+
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def _sigmoid(x):

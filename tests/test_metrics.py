@@ -176,12 +176,16 @@ def test_evaluate_batch_autosizes_auc_capacity():
 def test_protocol_delta_on_device_vs_original_scale():
     """Quantifies the documented split between the two eval protocols
     (VERDICT r1 item 10): the on-device metrics score at gazemap scale
-    (49x49), the reference's offline protocol resizes pred/gt (bicubic) to
-    the ORIGINAL fixation-map scale (`evaluation_metrics.py:239-272`). On
-    realistic synthetic predictions the per-metric deltas are small —
-    training-time on-device scores are interpretable against offline
-    numbers to roughly +-0.02 (cc/sim/AUC) / +-0.05 (nss). Measured here:
-    cc -0.011, sim -0.002, nss +0.021, AUC_Judd +0.001 (PARITY.md)."""
+    (49x49), the reference's offline protocol resizes pred/gt (bicubic,
+    reference-era skimage semantics since round 3) to the ORIGINAL
+    fixation-map scale (`evaluation_metrics.py:239-272`). Measured here:
+    cc -0.010, sim -0.002, AUC_Judd -0.004 — training-time on-device
+    scores are interpretable against offline numbers to ~+-0.02 for the
+    reference's metric set. NSS (our extension, not in the reference set)
+    reads -0.55 lower on-device: old-skimage's corner-anchored resize
+    decays the map's bottom/right border toward the constant-0 pad, which
+    deflates the mean/std and inflates fixation z-scores; interpret
+    offline NSS with that in mind (PARITY.md "Resize family")."""
     import jax
     import jax.numpy as jnp
 
@@ -210,7 +214,7 @@ def test_protocol_delta_on_device_vs_original_scale():
         jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(fix_map),
         jax.random.PRNGKey(0), metrics=metrics)
     rs = np.random.RandomState(0)
-    bounds = {"cc": 0.03, "sim": 0.02, "nss": 0.1, "AUC_Judd": 0.01}
+    bounds = {"cc": 0.03, "sim": 0.02, "nss": 0.65, "AUC_Judd": 0.01}
     for m in metrics:
         dev = float(np.nanmean(np.asarray(on_device[m])))
         ref = metrics_np.saliency_score(m, list(pred), list(gt),
@@ -268,3 +272,58 @@ def test_evaluate_batch_chunking_matches_unchunked():
     # same frames, same other-map: stochastic AUC means agree closely
     assert abs(np.nanmean(np.asarray(chunked["AUC_shuffled"])) -
                np.nanmean(np.asarray(whole["AUC_shuffled"]))) < 0.05
+
+
+def test_resize_family_score_delta():
+    """round-3 (VERDICT item 6): quantify the protocol's cubic-resize
+    delta. The reference upsamples 49x49 maps to the fixation-map scale
+    with skimage.transform.resize(order=3) (`evaluation_metrics.py:248`);
+    rounds 1-2 used scipy.ndimage.zoom. metrics_np now defaults to a
+    skimage-semantics resize (corner-anchored map_coordinates); this test
+    measures the per-metric score delta between the two cubic families on
+    the protocol fixture and pins it small (recorded in PARITY.md)."""
+    rng = np.random.RandomState(3)
+    n, oh, ow, gh, gw = 30, 90, 120, 49, 49
+
+    from recurrent_gaze_prediction_tpu.data.gazemap import (
+        apply_gaussian_filter,
+        resize_onehot_tensor,
+    )
+
+    fix_orig = np.zeros((n, oh, ow), np.float64)
+    for i in range(n):
+        ys, xs = rng.randint(0, oh, 5), rng.randint(0, ow, 5)
+        fix_orig[i, ys, xs] = 1
+    fix_small = resize_onehot_tensor(fix_orig, (gh, gw)).astype(np.float32)
+    gt = apply_gaussian_filter(fix_small, 2.0).astype(np.float64)
+    gt /= gt.max(axis=(1, 2), keepdims=True).clip(1e-9)
+    pred = np.roll(gt, shift=2, axis=2) * 0.9 + 0.1 * rng.rand(n, gh, gw)
+
+    deltas = {}
+    for metric in ("cc", "sim", "AUC_Judd", "AUC_Borji"):
+        vals = {}
+        for impl in ("skimage", "zoom"):
+            old = mnp.RESIZE_IMPL
+            mnp.RESIZE_IMPL = impl
+            try:
+                rs = np.random.RandomState(0)
+                vals[impl] = np.nanmean([
+                    mnp.saliency_score_single(metric, p, g, f, rng=rs)
+                    for p, g, f in zip(pred, gt, fix_orig)])
+            finally:
+                mnp.RESIZE_IMPL = old
+        deltas[metric] = abs(vals["skimage"] - vals["zoom"])
+    # measured on this fixture (PARITY.md): cc 1.1e-3, sim 1.5e-4,
+    # AUC_Judd 7.3e-3, AUC_Borji 1.4e-2 — distribution metrics are nearly
+    # family-invariant; AUC deltas come from the differing edge handling
+    # (constant-0 vs nearest padding changes low-saliency negatives)
+    bounds = {"cc": 5e-3, "sim": 2e-3, "AUC_Judd": 2e-2, "AUC_Borji": 3e-2}
+    for metric, delta in deltas.items():
+        assert delta < bounds[metric], (metric, delta, deltas)
+
+    # the skimage-like path really is corner-anchored with zero padding:
+    # an impulse at the source corner stays at the output corner
+    impulse = np.zeros((7, 7))
+    impulse[0, 0] = 1.0
+    up = mnp._resize_skimage_like(impulse, (49, 49))
+    assert up[0, 0] == np.max(up)

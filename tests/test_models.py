@@ -10,6 +10,10 @@ from recurrent_gaze_prediction_tpu import registry
 from recurrent_gaze_prediction_tpu.models import shallownet
 from recurrent_gaze_prediction_tpu.utils import param_count
 
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
+
 # tiny geometry for CPU tests
 B, T = 2, 3
 ALL_MODELS = registry.available_models()

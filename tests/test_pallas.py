@@ -10,6 +10,11 @@ from recurrent_gaze_prediction_tpu.ops.pallas.convgru import (
     convgru_scan_pallas,
 )
 from recurrent_gaze_prediction_tpu.ops.pallas.convlstm import convlstm_scan
+import pytest
+
+# >60s on the virtual-CPU harness: deselected by default (pyproject addopts
+# -m "not slow"); run everything with `pytest -m ""`.
+pytestmark = pytest.mark.slow
 
 
 def test_pallas_convgru_matches_reference_scan():

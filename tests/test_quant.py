@@ -110,7 +110,8 @@ def test_int8_through_serving_surfaces(tmp_path):
 
     cv2 = pytest.importorskip("cv2")
 
-    # --- tiny trained run (f=32 raw frames -> t=2 pipeline steps)
+    # --- tiny trained run (f=16 raw frames -> t=1 pipeline step;
+    # the int8 conv tower is slow on the CPU harness, so ONE window)
     train_dir = str(tmp_path / "run")
     rc = train_gaze.main([
         "--model", "gaze_grcn", "--dataset", "synthetic",
@@ -148,11 +149,13 @@ def test_int8_through_serving_surfaces(tmp_path):
         writer.write(vr.randint(0, 255, (48, 64, 3), np.uint8))
     writer.release()
 
+    # the fused programs are exported at the C3D protocol size 128x171
+
     out_dir = str(tmp_path / "serving")
     rc = export_serving.main([
         "--train_dir", train_dir, "--out_dir", out_dir,
         "--platforms", "cpu", "--caffemodel", caffemodel,
-        "--fused_num_frames", "32", "--int8",
+        "--fused_num_frames", "16", "--int8",
         "--calib_videos", calib_dir, "--calib_windows", "1",
     ])
     assert rc == 0
@@ -160,10 +163,10 @@ def test_int8_through_serving_surfaces(tmp_path):
     bundle = load_bundle(out_dir)
     assert "fused_int8" in bundle.programs and "fused" in bundle.programs
     assert bundle.qparams_int8 is not None
-    video = vr.randint(0, 255, (1, 32, 48, 64, 3)).astype(np.float32)
+    video = vr.randint(0, 255, (1, 16, 128, 171, 3)).astype(np.float32)
     ref = np.asarray(bundle.predict_fused(video))
     got = np.asarray(bundle.predict_fused_int8(video))
-    assert got.shape == ref.shape == (1, 2, 49, 49)
+    assert got.shape == ref.shape == (1, 1, 49, 49)
     assert np.isfinite(got).all()
     corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert corr >= 0.98, f"int8 map corr {corr} < 0.98"
