@@ -141,9 +141,27 @@ def flip_half_batch(batch: dict, key: jax.Array) -> dict:
 
 def make_train_step(model: GazeModel, tx: optax.GradientTransformation,
                     use_flip: Optional[bool] = None,
-                    donate: bool = True) -> Callable:
-    """Returns jitted `step(state, batch, rng) -> (state, metrics)`."""
+                    donate: bool = True,
+                    accum_steps: int = 1) -> Callable:
+    """Returns jitted `step(state, batch, rng) -> (state, metrics)`.
+
+    `accum_steps > 1` enables gradient accumulation: the batch's leading
+    axis is split into that many microbatches, gradients are averaged over
+    a `lax.scan` of microbatch passes, and ONE optimizer update applies —
+    numerically the same mean-over-batch loss gradient (the per-frame loss
+    already divides by B*T, `gaze_rnn.py:407`), at 1/accum_steps the
+    activation memory. Batch size must divide evenly.
+    """
     flip = model.cfg.use_flip_batch if use_flip is None else use_flip
+
+    def grads_of(params, batch, k_drop):
+        def loss_fn(p):
+            loss, aux = model.loss(p, batch, train=True, rng=k_drop)
+            return loss, aux
+
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        return loss, grads
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         rng_step = jax.random.fold_in(rng, state.step)
@@ -151,12 +169,35 @@ def make_train_step(model: GazeModel, tx: optax.GradientTransformation,
         if flip:
             batch = flip_half_batch(batch, k_flip)
 
-        def loss_fn(params):
-            loss, aux = model.loss(params, batch, train=True, rng=k_drop)
-            return loss, aux
+        if accum_steps == 1:
+            loss, grads = grads_of(state.params, batch, k_drop)
+        else:
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps "
+                    f"{accum_steps}")
+            micro = {k: v.reshape(accum_steps, b // accum_steps,
+                                  *v.shape[1:])
+                     for k, v in batch.items()}
+            drop_keys = jax.random.split(k_drop, accum_steps)
 
-        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            def body(carry, mb_and_key):
+                acc_loss, acc_grads = carry
+                mb, key = mb_and_key
+                loss, grads = grads_of(state.params, mb, key)
+                return (acc_loss + loss,
+                        jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                        ), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero_grads), (micro, drop_keys))
+            loss = loss_sum / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps,
+                                           grad_sum)
+
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -180,7 +180,9 @@ def test_int8_through_serving_surfaces(tmp_path):
         host, port = server.address
         body = io.BytesIO()
         np.savez_compressed(body, video=video[0])
-        conn = http.client.HTTPConnection(host, port, timeout=120)
+        # the server re-compiles its own bundle instance on first use;
+        # the int8 conv tower compiles slowly on a contended CPU host
+        conn = http.client.HTTPConnection(host, port, timeout=540)
         conn.request("POST", "/predict", body.getvalue(),
                      {"Content-Type": "application/octet-stream"})
         resp = conn.getresponse()

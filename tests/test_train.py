@@ -205,3 +205,42 @@ def test_fit_profile_steps_captures_trace(tmp_path):
     traces = glob.glob(os.path.join(train_dir, "profile", "**", "*.xplane.pb"),
                        recursive=True)
     assert traces, "no xplane trace captured"
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """accum_steps=k must produce the same update as the full-batch step
+    (mean-over-batch loss; dropout disabled for determinism since the
+    microbatch passes fold different dropout keys by design)."""
+    model = registry.create_model(
+        "gaze_grcn77", n_lstm_steps=3, batch_size=4,
+        compute_dtype="float32", rnn_state_size=8, dim_cnn_proj=16,
+        dropout_keep_prob=1.0)
+    exp = ExperimentConfig()
+    # SGD: Adam's m/sqrt(v) normalization amplifies fp32 reassociation
+    # noise of near-zero grads into +-lr sign flips, which would make a
+    # parameter-level comparison meaningless
+    exp.optimizer.method = "sgd"
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    data = synthetic.make_clip_windows(4, 3, seed=0, gazemap_hw=(7, 7))
+    batch = {k: jnp.asarray(v) for k, v in data.next_batch(4).items()
+             if k != "clipnames"}
+    rng = jax.random.PRNGKey(1)
+
+    step1 = make_train_step(model, tx, use_flip=False, donate=False)
+    step2 = make_train_step(model, tx, use_flip=False, donate=False,
+                            accum_steps=2)
+    s1, m1 = step1(state, batch, rng)
+    s2, m2 = step2(state, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # indivisible batch -> clear error
+    with pytest.raises(ValueError, match="divisible"):
+        make_train_step(model, tx, use_flip=False, donate=False,
+                        accum_steps=3)(state, batch, rng)
