@@ -23,10 +23,13 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 from ..config import ModelConfig
 from ..ops import initializers as init
-from ..ops.layers import conv2d_transpose, dropout, frozen_batch_norm, linear
+from ..ops.layers import (conv2d_transpose, conv2d_transpose_subpixel,
+                          dropout, frozen_batch_norm, linear)
 from ..ops.normalize import (
     kl_divergence_2d,
     normalize_probability_map,
@@ -98,12 +101,14 @@ def init_decoder(key: jax.Array, in_channels: int,
     return params
 
 
-def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
-                  rng: Optional[jax.Array], train: bool,
-                  compute_dtype=None) -> jax.Array:
-    """[N, 7, 7, C] -> [N, 49, 49] via deconv 5x5/s3 VALID -> 23,
-    deconv 5x5/s2 VALID -> 49, deconv 7x7/s1 SAME, 12->1 linear head with
-    output dropout (`gaze_grcn.py:318-366`). N is B*T folded."""
+def apply_decoder_stagewise(params: dict, x: jax.Array, *, keep_prob: float,
+                            rng: Optional[jax.Array], train: bool,
+                            compute_dtype=None) -> jax.Array:
+    """The decoder as the reference literally wrote it: deconv 5x5/s3
+    VALID -> 23, deconv 5x5/s2 VALID -> 49, deconv 7x7/s1 SAME, 12->1
+    head (`gaze_grcn.py:318-366`). Kept as the numerical anchor for
+    `apply_decoder` (the linearized form below); the up3/out_W fold is
+    retained (round-2 win, bit-compatible)."""
     if "bn_scale" in params:
         x = frozen_batch_norm(x, params["bn_scale"], params["bn_offset"])
     x = conv2d_transpose(x, params["up1_w"], stride=3, padding="VALID",
@@ -112,20 +117,105 @@ def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
     x = conv2d_transpose(x, params["up2_w"], stride=2, padding="VALID",
                          compute_dtype=compute_dtype,
                          out_dtype=compute_dtype)
-    # up3 (7x7, 32->12, stride 1) and the 12->1 linear head are a LINEAR
-    # composition (no nonlinearity between them in the reference either,
-    # `gaze_grcn.py:353-362`) — fold the 12-channel intermediate into the
-    # kernel once per call: 12x fewer FLOPs on the largest decoder conv
-    # (49x49 spatial), measured 14.1 -> 9.5 ms decoder fwd+bwd at B*T=672
-    # (BENCHMARKS.md round 2). Gradients flow through the einsum, so
-    # up3_w / out_W training and checkpoints are unchanged.
     w_eff = jnp.einsum("hwio,oj->hwij", params["up3_w"], params["out_W"])
-    # out_dtype left at fp32: the logits head always emitted fp32
     x = conv2d_transpose(x, w_eff, stride=1, padding="SAME",
                          compute_dtype=compute_dtype)
     n = x.shape[0]
     out = x.reshape(-1, 1) + params["out_b"].astype(x.dtype)
     out = dropout(out, keep_prob, rng, deterministic=not train)
+    return out.reshape(n, 49, 49)
+
+
+def _decoder_matrix(params: dict):
+    """Compose the WHOLE decoder into one [7*7*C, 49*49] matrix + a
+    [49*49] bias map, differentiably, per call.
+
+    The reference decoder has NO nonlinearity anywhere
+    (`gaze_grcn.py:318-366`): frozen BN -> deconv(5,s3) -> deconv(5,s2)
+    -> deconv(7,s1,SAME) -> 12->1 head is one linear map from [7,7,C] to
+    [49,49]. Stage-wise it runs three channel-starved deconvs (64/32/1
+    output lanes on a 128-lane MXU; f+b measured 10-14% MFU, the train
+    step's floor — BENCHMARKS.md round 3); composed, it is a single
+    dense [N,6272]x[6272,2401] matmul. Kernel composition costs ~4 GFLOP
+    of small convs per call and autodiff carries gradients back to the
+    ORIGINAL up1/up2/up3/out_W parameters, so checkpoints, init, and
+    training dynamics are unchanged (exact up to float reassociation;
+    pinned against `apply_decoder_stagewise` in tests/test_models.py).
+
+    Index algebra (1-D; 2-D is the product): with lax.conv_transpose's
+    scatter-flipped-kernel semantics, deconv(K, s) is
+    y[o] = sum_i x[i] * Kf[o - s*i], Kf = flip(K). Composing two:
+    z[p] = sum_i x[i] * E[p - 6*i],
+      E[J] = sum_{j} K1f[j] * K2f[J - 2*j]          (J in [0, 13))
+    and the SAME-pad k7 head on top:
+    out[q] = sum_i x[i] * G[q - 6*i + 3],
+      G[g] = sum_v E[g + v - 6] * w_eff[v]          (g in [0, 19))
+    """
+    c_in = params["up1_w"].shape[2]
+    w_eff = jnp.einsum("hwio,oj->hwij", params["up3_w"], params["out_W"])
+
+    # E = composed 5/s3 o 5/s2 kernel [13, 13, C, 32]:
+    # zero-upsample flip(up1) by 2, then full-conv with flip(up2) — done
+    # as a correlation with the UNFLIPPED up2 and k-1 padding
+    k1f = params["up1_w"][::-1, ::-1]                  # [5, 5, C, 64]
+    up = jnp.zeros((9, 9) + k1f.shape[2:], k1f.dtype)
+    up = up.at[::2, ::2].set(k1f)                      # [9, 9, C, 64]
+    # treat C as batch: [C, 9, 9, 64] conv up2 [5,5,64,32] pad 4 -> 13
+    e = lax.conv_general_dilated(
+        jnp.transpose(up, (2, 0, 1, 3)), params["up2_w"],
+        window_strides=(1, 1), padding=[(4, 4), (4, 4)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)            # [C, 13, 13, 32]
+
+    # G[g] = sum_v E[g + v - 6] * w_eff[v]: correlation with pad 6 -> 19
+    g = lax.conv_general_dilated(
+        e, w_eff, window_strides=(1, 1), padding=[(6, 6), (6, 6)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)            # [C, 19, 19, 1]
+    g = jnp.transpose(g[..., 0], (1, 2, 0))            # [19, 19, C]
+
+    # place G into M[(i, ci), q]: M[i, q] = G[q - 6*i + 3] (0 outside)
+    place = np.zeros((7, 49, 19), np.float32)
+    for i in range(7):
+        for q in range(49):
+            gg = q - 6 * i + 3
+            if 0 <= gg < 19:
+                place[i, q, gg] = 1.0
+    place = jnp.asarray(place, g.dtype)
+    t1 = jnp.tensordot(place, g, axes=([2], [0]))      # [7, 49, 19, C]
+    t2 = jnp.tensordot(place, t1, axes=([2], [2]))     # [7, 49, 7, 49, C]
+    m = jnp.transpose(t2, (2, 0, 4, 3, 1))             # [i_r,i_c,C,q_r,q_c]
+
+    # fold the frozen BN affine (y = x*scale*rsqrt(1+eps) + offset,
+    # ops/layers.frozen_batch_norm) into the map
+    bias = params["out_b"].astype(jnp.float32)[0]
+    if "bn_scale" in params:
+        offset_map = jnp.tensordot(
+            params["bn_offset"].astype(m.dtype),
+            m.sum(axis=(0, 1)), axes=([0], [0]))       # [49, 49]
+        scale = (params["bn_scale"].astype(m.dtype)
+                 * lax.rsqrt(jnp.asarray(1.0 + 1e-3, m.dtype)))
+        m = m * scale[None, None, :, None, None]
+        bias = bias + offset_map.reshape(-1)
+    return m.reshape(7 * 7 * c_in, 49 * 49), bias
+
+
+def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
+                  rng: Optional[jax.Array], train: bool,
+                  compute_dtype=None) -> jax.Array:
+    """[N, 7, 7, C] -> [N, 49, 49]: the reference's 3-deconv + head
+    decoder (`gaze_grcn.py:318-366`), computed as ONE composed matmul
+    (see `_decoder_matrix`). N is B*T folded."""
+    m, bias = _decoder_matrix(params)
+    if compute_dtype is not None:
+        m = m.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+    n = x.shape[0]
+    out = jnp.dot(x.reshape(n, -1), m,
+                  preferred_element_type=jnp.float32)
+    out = out + bias
+    out = dropout(out.reshape(-1, 1), keep_prob, rng,
+                  deterministic=not train)
     return out.reshape(n, 49, 49)
 
 

@@ -176,3 +176,43 @@ def test_sequence_loss_frame_mask_excludes_padding():
     np.testing.assert_allclose(
         float(sequence_loss(logits, gt, "l2", frame_mask=mask)),
         float(sequence_loss(logits[:, :3], gt[:, :3], "l2")), rtol=1e-6)
+
+
+def test_linearized_decoder_matches_stagewise():
+    """round-3: the decoder runs as ONE composed [6272,2401] matmul
+    (models/common._decoder_matrix); it must match the literal 3-deconv
+    reference formulation exactly (incl. the frozen-BN fold), and so must
+    its gradients wrt the ORIGINAL kernels."""
+    from recurrent_gaze_prediction_tpu.models import common
+
+    rng = np.random.RandomState(1)
+    key = jax.random.PRNGKey(0)
+    params = common.init_decoder(key, 128, with_batch_norm=True)
+    params["bn_scale"] = jnp.asarray(
+        rng.rand(128).astype(np.float32) + 0.5)
+    params["bn_offset"] = jnp.asarray(
+        rng.randn(128).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(4, 7, 7, 128).astype(np.float32))
+
+    a = common.apply_decoder_stagewise(params, x, keep_prob=1.0, rng=None,
+                                       train=False)
+    b = common.apply_decoder(params, x, keep_prob=1.0, rng=None,
+                             train=False)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_stage(p):
+        out = common.apply_decoder_stagewise(p, x, keep_prob=1.0, rng=None,
+                                             train=False)
+        return (out ** 2).sum()
+
+    def loss_lin(p):
+        out = common.apply_decoder(p, x, keep_prob=1.0, rng=None,
+                                   train=False)
+        return (out ** 2).sum()
+
+    ga = jax.grad(loss_stage)(params)
+    gb = jax.grad(loss_lin)(params)
+    for k in ga:
+        np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(ga[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
