@@ -115,11 +115,13 @@ def bench_inference_int8():
     return b * f * n_iters / elapsed
 
 
-def bench_train_step():
+def bench_train_step(b: int = 16, t: int = 42):
     """Feature-fed gaze_grcn train step at the reference's shape regime
     (T=42): step latency + MFU. State chaining (step i+1 consumes step i's
     TrainState) forces sequential execution; the final loss transfer syncs
-    the whole chain."""
+    the whole chain. B=16 is the round-1/2-comparable row; B=56 (2x the
+    reference default 28) is the throughput-optimal shippable config
+    (BENCHMARKS.md round-3 MFU-vs-batch curve)."""
     from recurrent_gaze_prediction_tpu import registry
     from recurrent_gaze_prediction_tpu.config import ExperimentConfig
     from recurrent_gaze_prediction_tpu.data import synthetic
@@ -129,7 +131,6 @@ def bench_train_step():
     )
     from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
 
-    b, t = 16, 42
     exp = ExperimentConfig()
     model = registry.create_model("gaze_grcn", exp.model, n_lstm_steps=t,
                                   batch_size=b, compute_dtype="bfloat16")
@@ -165,7 +166,8 @@ def main() -> None:
         int8_fps = bench_inference_int8()
     except Exception:
         int8_fps = None  # int8 conv unsupported on this backend
-    train_ms, train_mfu = bench_train_step()
+    train_ms, train_mfu = bench_train_step(16)
+    train56_ms, train56_mfu = bench_train_step(56)
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -175,6 +177,9 @@ def main() -> None:
         "int8_frames_per_sec": round(int8_fps, 1) if int8_fps else None,
         "train_step_ms": round(train_ms, 2),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_step_ms_b56": round(train56_ms, 2),
+        "train_mfu_b56": round(train56_mfu, 4) if train56_mfu else None,
+        "train_frames_per_sec_b56": round(56 * 42 / (train56_ms / 1e3), 0),
         "device": jax.devices()[0].device_kind,
     }))
 

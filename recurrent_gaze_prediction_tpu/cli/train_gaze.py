@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", default=None, type=int)
     parser.add_argument("--learning_rate", default=None, type=float)
     parser.add_argument("--learning_rate_decay", default=None, type=float)
+    parser.add_argument("--accum_steps", default=None, type=int,
+                        help="gradient-accumulation microbatches per "
+                             "optimizer update (memory lever; batch "
+                             "size must divide evenly)")
     parser.add_argument("--max_steps", default=None, type=int)
     parser.add_argument("--loss_type", default=None,
                         choices=[None, "l2", "xentropy", "kld"])
@@ -127,6 +131,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         "model.use_pallas": args.use_pallas,
         "optimizer.initial_learning_rate": args.learning_rate,
         "optimizer.learning_rate_decay": args.learning_rate_decay,
+        "optimizer.accum_steps": args.accum_steps,
         "schedule.max_steps": args.max_steps,
     })
 

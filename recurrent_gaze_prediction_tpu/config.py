@@ -48,6 +48,10 @@ class OptimizerConfig:
     staircase: bool = True
     use_decay_schedule: bool = True  # False -> constant LR variable
     max_grad_norm: float = 10.0
+    # gradient accumulation: split each batch into this many microbatches
+    # under one optimizer update (numerically the full-batch step; memory
+    # lever for global batches beyond HBM). Batch size must divide evenly.
+    accum_steps: int = 1
     # Reference trains the ShallowNet subtree with lr=0 ("DO NOT LEARN",
     # `models/gaze_rnn.py:459`); we freeze that param group.
     freeze_shallownet: bool = True

@@ -78,7 +78,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     rng = jax.random.PRNGKey(exp.seed)
     lr_schedule = build_schedule(exp.optimizer)
 
-    train_step = make_train_step(model, tx)
+    train_step = make_train_step(model, tx,
+                                 accum_steps=exp.optimizer.accum_steps)
     eval_step = make_eval_step(model)
     predict_fn = make_predict_fn(model)
 

@@ -244,3 +244,17 @@ def test_gradient_accumulation_matches_full_batch():
     with pytest.raises(ValueError, match="divisible"):
         make_train_step(model, tx, use_flip=False, donate=False,
                         accum_steps=3)(state, batch, rng)
+
+
+def test_fit_with_accum_steps(tmp_path):
+    """--accum_steps reaches fit() through the config tree."""
+    exp = _exp("gaze_grcn77", dim_cnn_proj=16, rnn_state_size=8)
+    exp.schedule.max_steps = 4
+    exp.optimizer.accum_steps = 2
+    model = registry.create_model(exp.model.name, exp.model)
+    data = _small_data(7, 7)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    state = fit(model, state, tx, data, exp,
+                train_dir=str(tmp_path / "run"))
+    assert int(state.step) == 4
