@@ -86,7 +86,13 @@ def _load_calibration_clips(calib_videos: Optional[str], max_windows: int):
             log.warn("calibration: cannot decode %s: %s", path, e)
             continue
         for start in range(0, len(frames) - 15, 16):
-            windows.append(np.stack(frames[start:start + 16]))
+            win = np.stack(frames[start:start + 16])
+            # normalize to the network's 128x171 ingest size host-side so
+            # windows from differently-sized videos stack together
+            if win.shape[1:3] != (128, 171):
+                win = np.asarray(jax.image.resize(
+                    jnp.asarray(win), (16, 128, 171, 3), method="bilinear"))
+            windows.append(win)
             if len(windows) >= max_windows:
                 break
         if len(windows) >= max_windows:
