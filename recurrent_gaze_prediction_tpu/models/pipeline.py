@@ -172,22 +172,49 @@ def flip_half_video_batch(batch: dict, key: jax.Array) -> dict:
     return random_half_flip(batch, key, {"video": 3, "gazemaps": 3})
 
 
+def init_fused_opt_state(tx, gaze_params, c3d_params=None, *,
+                         c3d_tx=None, finetune_c3d: bool = False):
+    """Optimizer state for `make_fused_train_step`: `tx.init(gaze_params)`
+    when C3D is frozen, else the pair `(tx.init(gaze_params),
+    (c3d_tx or tx).init(c3d_params))`."""
+    if not finetune_c3d:
+        return tx.init(gaze_params)
+    return (tx.init(gaze_params), (c3d_tx or tx).init(c3d_params))
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
+                          c3d_tx=None,
                           use_flip: Optional[bool] = None,
-                          compute_dtype=jnp.bfloat16):
+                          compute_dtype=jnp.bfloat16,
+                          remat_c3d: Optional[bool] = None):
     """End-to-end training FROM RAW VIDEO: the C3D extractor sits inside
     the training graph, so the host ships uint8/float frames instead of
     fp32 conv5b features (~12x less wire traffic — BENCHMARKS.md "input
     transfer dominates"). The reference cannot do this at all: its C3D is
-    an offline C++ subprocess.
+    an offline C++ subprocess with no gradient path
+    (`extract_C3D_features.py:689-724`).
 
     Returns jitted `step(gaze_params, opt_state, c3d_params, batch, rng)
-    -> (gaze_params, opt_state, metrics)`. batch: {"video": [B,F,H,W,3]
-    pixels 0..255, "gazemaps": [B,T,GH,GW]} with T =
-    pipeline_timesteps(F). C3D stays frozen unless finetune_c3d (frozen =
-    stop_gradient, matching the reference's frozen-feature-extractor
-    training regime). Regularization matches the feature-fed step
+    -> (gaze_params, opt_state, c3d_params, metrics)`. batch: {"video":
+    [B,F,H,W,3] pixels 0..255, "gazemaps": [B,T,GH,GW]} with T =
+    pipeline_timesteps(F). Build `opt_state` with `init_fused_opt_state`.
+
+    finetune_c3d=False (default, the reference's frozen-feature-extractor
+    regime): gradients flow only to the gaze model; c3d_params pass
+    through untouched and no backward runs through the 3-D conv tower
+    (the gaze loss does not depend on C3D's weights via the gaze params,
+    so the tower's VJP is never built).
+
+    finetune_c3d=True (beyond reference — JOINT end-to-end fine-tuning):
+    the loss is differentiated w.r.t. BOTH trees and each gets its own
+    optax update — `c3d_tx` (default `tx`) for the tower, e.g. a smaller
+    LR for a Sports-1M-pretrained backbone. The tower is rematerialized
+    (`jax.checkpoint`) by default so the backward pass recomputes conv
+    activations instead of storing ~2 GB of them per bench-sized batch;
+    pass remat_c3d=False to keep residuals when memory allows.
+
+    Regularization matches the feature-fed step
     (`train/state.make_train_step`): `rng` drives the random half-batch
     horizontal flip (per `use_flip` / cfg.use_flip_batch) and the gaze
     model's dropout.
@@ -198,28 +225,63 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
     from ..ops.normalize import normalize_probability_map
 
     flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
+    c3d_tx = c3d_tx if c3d_tx is not None else tx
+    if remat_c3d is None:
+        remat_c3d = finetune_c3d
+
+    c3d_fwd = None
+    if remat_c3d:
+        @jax.checkpoint
+        def c3d_fwd(params, clips):
+            return c3d_model.apply(params, clips, feature_layer="conv5b",
+                                   compute_dtype=compute_dtype)
 
     def loss_fn(gaze_params, c3d_params, batch, k_drop):
-        c3d_p = (c3d_params if finetune_c3d
-                 else jax.tree_util.tree_map(jax.lax.stop_gradient,
-                                             c3d_params))
-        logits = extract_and_predict(c3d_p, gaze_params, gaze_model,
+        logits = extract_and_predict(c3d_params, gaze_params, gaze_model,
                                      batch["video"],
                                      compute_dtype=compute_dtype,
-                                     logits=True, train=True, rng=k_drop)
+                                     logits=True, train=True, rng=k_drop,
+                                     c3d_forward=c3d_fwd)
         gt = batch["gazemaps"]
         if gaze_model.cfg.loss_type in ("xentropy", "kld"):
             gt = normalize_probability_map(gt)
         return sequence_loss(logits, gt, gaze_model.cfg.loss_type)
 
-    def step(gaze_params, opt_state, c3d_params, batch, rng):
+    if finetune_c3d:
+        def joint_step(gaze_params, opt_state, c3d_params, batch, rng):
+            k_flip, k_drop = jax.random.split(rng)
+            if flip:
+                batch = flip_half_video_batch(batch, k_flip)
+            gaze_opt, c3d_opt = opt_state
+            loss, (g_gaze, g_c3d) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(gaze_params, c3d_params, batch,
+                                         k_drop)
+            updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
+            gaze_params = optax.apply_updates(gaze_params, updates)
+            c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
+            c3d_params = optax.apply_updates(c3d_params, c3d_up)
+            return (gaze_params, (gaze_opt, c3d_opt), c3d_params,
+                    {"loss": loss})
+
+        return jax.jit(joint_step, donate_argnums=(0, 1, 2))
+
+    def frozen_step(gaze_params, opt_state, c3d_params, batch, rng):
         k_flip, k_drop = jax.random.split(rng)
         if flip:
             batch = flip_half_video_batch(batch, k_flip)
-        loss, grads = jax.value_and_grad(loss_fn)(gaze_params, c3d_params,
-                                                  batch, k_drop)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            gaze_params, c3d_params, batch, k_drop)
         updates, opt_state = tx.update(grads, opt_state, gaze_params)
         gaze_params = optax.apply_updates(gaze_params, updates)
         return gaze_params, opt_state, {"loss": loss}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(frozen_step, donate_argnums=(0, 1))
+
+    def step(gaze_params, opt_state, c3d_params, batch, rng):
+        # c3d_params pass through on the HOST side: returning a
+        # non-donated input from the jit would copy the whole tower
+        gaze_params, opt_state, metrics = jitted(gaze_params, opt_state,
+                                                 c3d_params, batch, rng)
+        return gaze_params, opt_state, c3d_params, metrics
+
+    return step
