@@ -1,0 +1,174 @@
+"""Raw-video training surface (`train/fused.py` + `cli/train_fused.py`).
+
+The fused TRAIN STEP itself is covered in test_c3d.py; this file covers the
+product surface around it: corpus loading (videos + processed .mat ->
+aligned batches), the checkpointed fit loop, and the CLI main including
+resume.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from recurrent_gaze_prediction_tpu import registry
+from recurrent_gaze_prediction_tpu.models import pipeline
+from recurrent_gaze_prediction_tpu.train import fused
+
+F = 32  # -> 2 c3d windows, T=2
+
+
+def test_synthetic_fused_corpus_shapes():
+    data = fused.make_synthetic_fused_corpus(4, num_frames=F,
+                                             frame_hw=(48, 64), seed=0)
+    t = pipeline.pipeline_timesteps(F)
+    assert data.video.shape == (4, F, 48, 64, 3)
+    assert data.video.dtype == np.uint8
+    assert data.gazemaps.shape == (4, t, 49, 49)
+    # learnable: the gaze target peaks where the frame is bright
+    ci, ti = 1, t - 1
+    gy, gx = np.unravel_index(np.argmax(data.gazemaps[ci, ti]), (49, 49))
+    fy, fx = int(gy / 48 * 47), int(gx / 48 * 63)
+    frame = data.video[ci, fused.FRAME_OFFSET + ti * fused.FRAME_STRIDE]
+    patch = frame[max(0, fy - 6):fy + 6, max(0, fx - 6):fx + 6]
+    assert patch.mean() > frame.mean() + 20
+
+    batch = data.next_batch(2)
+    assert batch["video"].shape == (2, F, 48, 64, 3)
+    train, valid = data.split(1)
+    assert len(train) == 3 and len(valid) == 1
+    assert valid.clipnames[0] == data.clipnames[3]
+
+
+def test_split_degenerate_returns_none():
+    data = fused.make_synthetic_fused_corpus(2, num_frames=F,
+                                             frame_hw=(48, 64))
+    train, valid = data.split(0)
+    assert valid is None and train is data
+    train, valid = data.split(5)
+    assert valid is None and train is data
+
+
+@pytest.mark.slow
+def test_fit_fused_checkpoints_and_resumes(tmp_path):
+    """fit_fused descends on the synthetic corpus, saves a checkpoint, and
+    a second invocation resumes from it instead of restarting."""
+    import jax.numpy as jnp
+    import optax
+
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+
+    data = fused.make_synthetic_fused_corpus(4, num_frames=F,
+                                             frame_hw=(48, 64), seed=0)
+    t = pipeline.pipeline_timesteps(F)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=2,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    exp = ExperimentConfig()
+    exp.model = model.cfg
+    exp.schedule.max_steps = 4
+    exp.schedule.steps_per_checkpoint = 2
+    exp.schedule.steps_per_validation = 2
+    exp.schedule.steps_per_logprint = 1
+
+    import jax
+
+    from recurrent_gaze_prediction_tpu.models import c3d
+
+    tx = optax.adam(1e-3)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    state = fused.FusedTrainState(
+        gaze_params, pipeline.init_fused_opt_state(tx, gaze_params),
+        c3d_params, jnp.zeros((), jnp.int32))
+
+    train_dir = str(tmp_path / "run")
+    state = fused.fit_fused(model, state, tx, data, exp,
+                            valid_data=data, compute_dtype=jnp.float32,
+                            train_dir=train_dir)
+    assert int(state.step) == 4
+    assert os.path.isdir(os.path.join(train_dir, "model"))
+
+    # resume: raise max_steps, feed a FRESH state — the loop must restore
+    # step 4 from disk and only run 2 more
+    exp.schedule.max_steps = 6
+    fresh = fused.FusedTrainState(
+        model.init(jax.random.PRNGKey(9)),
+        pipeline.init_fused_opt_state(tx, gaze_params), c3d_params,
+        jnp.zeros((), jnp.int32))
+    state2 = fused.fit_fused(model, fresh, tx, data, exp,
+                             compute_dtype=jnp.float32,
+                             train_dir=train_dir)
+    assert int(state2.step) == 6
+
+
+@pytest.mark.slow
+def test_train_fused_cli_synthetic(tmp_path):
+    from recurrent_gaze_prediction_tpu.cli import train_fused as cli
+
+    train_dir = str(tmp_path / "cli_run")
+    rc = cli.main([
+        "--dataset", "synthetic", "--model", "gaze_grcn",
+        "--num_frames", str(F), "--synthetic_clips", "4",
+        "--valid_clips", "1", "--batch_size", "2",
+        "--max_steps", "5", "--train_dir", train_dir,
+        "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(train_dir, "config.json"))
+    assert os.path.exists(os.path.join(train_dir, "metrics.jsonl"))
+    with open(os.path.join(train_dir, "metrics.jsonl")) as f:
+        lines = [line for line in f if "loss/train" in line]
+    assert lines, "no train-loss records written"
+
+
+@pytest.mark.slow
+def test_load_fused_corpus_from_avi(tmp_path):
+    """Real container formats end to end: .avi videos + raw .mat records ->
+    process_gazemap -> load_fused_corpus gives aligned arrays."""
+    cv2 = pytest.importorskip("cv2")
+    import h5py
+
+    from recurrent_gaze_prediction_tpu.cli import process_gazemap
+
+    videos = tmp_path / "videos"
+    gaze = tmp_path / "gazemap"
+    videos.mkdir()
+    gaze.mkdir()
+    rng = np.random.RandomState(0)
+    oh, ow = 36, 48
+    for ci in range(2):
+        clip = f"clip{ci:03d}"
+        writer = cv2.VideoWriter(str(videos / (clip + ".avi")),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                                 (ow, oh))
+        assert writer.isOpened()
+        for _ in range(F + 8):  # longer than num_frames: truncation path
+            writer.write(rng.randint(0, 255, (oh, ow, 3), np.uint8))
+        writer.release()
+        with h5py.File(gaze / (clip + ".mat"), "w") as mat:
+            grp = mat.create_group("data")
+            for ui in range(2):
+                user = grp.create_group(f"user{ui:02d}")
+                raw = np.zeros((F + 8, oh, ow), np.uint8)
+                raw[np.arange(F + 8), rng.randint(0, oh, F + 8),
+                    rng.randint(0, ow, F + 8)] = 1
+                user["gazemap"] = raw
+                user["pupilsize"] = rng.rand(F + 8)
+
+    rc = process_gazemap.main(["--glob", str(gaze / "*.mat"),
+                               "--num_agents", "1"])
+    assert rc == 0
+
+    data = fused.load_fused_corpus(str(videos), str(gaze), num_frames=F,
+                                   frame_hw=(40, 56))
+    t = pipeline.pipeline_timesteps(F)
+    assert data.video.shape == (2, F, 40, 56, 3)
+    assert data.gazemaps.shape == (2, t, 49, 49)
+    assert data.gazemaps.min() > 0  # blurred + floored
+    assert sorted(data.clipnames) == ["clip000", "clip001"]
+
+
+def test_load_fused_corpus_missing_inputs(tmp_path):
+    with pytest.raises(ValueError, match="no videos"):
+        fused.load_fused_corpus(str(tmp_path), str(tmp_path), num_frames=F)
