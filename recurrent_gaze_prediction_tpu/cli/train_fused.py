@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference's regime when pretrained; default "
                              "OFF here — raw-pixel training wants the "
                              "image tower to learn)")
+    parser.add_argument("--data_parallel", default=0, type=int,
+                        help="shard the video batch over an N-wide \"data\" "
+                             "mesh axis (multi-chip; batch_size must "
+                             "divide)")
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="width of the \"model\" mesh axis (shards the "
+                             "wide FC/projection kernels)")
     parser.add_argument("--compute_dtype", default=None)
     parser.add_argument("--seed", default=0, type=int)
     return parser
@@ -195,12 +202,21 @@ def main(argv: Optional[list[str]] = None) -> int:
     state = fused.FusedTrainState(gaze_params, opt_state, c3d_params,
                                   jnp.zeros((), jnp.int32))
 
+    mesh = None
+    if args.data_parallel > 1 or args.model_parallel > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel or -1,
+                         model_parallel=args.model_parallel)
+        log.info("mesh: %s over %d devices", dict(mesh.shape),
+                 mesh.size)
+
     writer = MetricWriter(args.train_dir) if args.train_dir else None
     state = fused.fit_fused(
         model, state, tx, train_data, exp, valid_data=valid_data,
         finetune_c3d=args.finetune_c3d, c3d_tx=c3d_tx,
         compute_dtype=compute_dtype, train_dir=args.train_dir,
-        metric_writer=writer)
+        mesh=mesh, metric_writer=writer)
     if writer is not None:
         writer.close()
     log.info("fused training done at step %d", int(state.step))

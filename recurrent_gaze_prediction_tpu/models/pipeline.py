@@ -182,6 +182,38 @@ def init_fused_opt_state(tx, gaze_params, c3d_params=None, *,
     return (tx.init(gaze_params), (c3d_tx or tx).init(c3d_params))
 
 
+def make_fused_loss_fn(gaze_model: GazeModel, *,
+                       compute_dtype=jnp.bfloat16,
+                       remat_c3d: bool = False):
+    """`loss_fn(gaze_params, c3d_params, batch, k_drop) -> scalar` over a
+    raw-video batch — the differentiable core shared by the single-chip
+    train step below and `parallel/sharding.make_sharded_fused_train_step`.
+    `remat_c3d` wraps the conv tower in `jax.checkpoint` so a backward
+    pass through it recomputes activations instead of storing them."""
+    from .common import sequence_loss
+    from ..ops.normalize import normalize_probability_map
+
+    c3d_fwd = None
+    if remat_c3d:
+        @jax.checkpoint
+        def c3d_fwd(params, clips):
+            return c3d_model.apply(params, clips, feature_layer="conv5b",
+                                   compute_dtype=compute_dtype)
+
+    def loss_fn(gaze_params, c3d_params, batch, k_drop):
+        logits = extract_and_predict(c3d_params, gaze_params, gaze_model,
+                                     batch["video"],
+                                     compute_dtype=compute_dtype,
+                                     logits=True, train=True, rng=k_drop,
+                                     c3d_forward=c3d_fwd)
+        gt = batch["gazemaps"]
+        if gaze_model.cfg.loss_type in ("xentropy", "kld"):
+            gt = normalize_probability_map(gt)
+        return sequence_loss(logits, gt, gaze_model.cfg.loss_type)
+
+    return loss_fn
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
                           c3d_tx=None,
@@ -221,31 +253,13 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
     """
     import optax
 
-    from .common import sequence_loss
-    from ..ops.normalize import normalize_probability_map
-
     flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
     c3d_tx = c3d_tx if c3d_tx is not None else tx
     if remat_c3d is None:
         remat_c3d = finetune_c3d
 
-    c3d_fwd = None
-    if remat_c3d:
-        @jax.checkpoint
-        def c3d_fwd(params, clips):
-            return c3d_model.apply(params, clips, feature_layer="conv5b",
-                                   compute_dtype=compute_dtype)
-
-    def loss_fn(gaze_params, c3d_params, batch, k_drop):
-        logits = extract_and_predict(c3d_params, gaze_params, gaze_model,
-                                     batch["video"],
-                                     compute_dtype=compute_dtype,
-                                     logits=True, train=True, rng=k_drop,
-                                     c3d_forward=c3d_fwd)
-        gt = batch["gazemaps"]
-        if gaze_model.cfg.loss_type in ("xentropy", "kld"):
-            gt = normalize_probability_map(gt)
-        return sequence_loss(logits, gt, gaze_model.cfg.loss_type)
+    loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=compute_dtype,
+                                 remat_c3d=remat_c3d)
 
     if finetune_c3d:
         def joint_step(gaze_params, opt_state, c3d_params, batch, rng):
@@ -284,4 +298,5 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
                                                  c3d_params, batch, rng)
         return gaze_params, opt_state, c3d_params, metrics
 
+    step.jitted = jitted  # for cost analysis (utils.mfu.compiled_flops)
     return step

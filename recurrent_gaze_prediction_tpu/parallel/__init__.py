@@ -14,6 +14,7 @@ from .mesh import (
 )
 from .sharding import (
     make_sharded_fused_predict,
+    make_sharded_fused_train_step,
     make_sharded_predict,
     make_sharded_stream_fn,
     make_sharded_train_step,
@@ -42,6 +43,7 @@ __all__ = [
     "global_batch_from_host_local",
     "make_sharded_stream_fn",
     "make_sharded_fused_predict",
+    "make_sharded_fused_train_step",
     "make_temporal_sharded_extract",
     "make_temporal_sharded_fused_predict",
 ]

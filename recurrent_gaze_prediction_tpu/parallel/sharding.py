@@ -27,17 +27,7 @@ def _state_shardings(state: TrainState, mesh: Mesh,
     # optimizer state mirrors param shapes (adam mu/nu etc.); leaves whose
     # shape/dtype matches a param leaf get that param's sharding, everything
     # else (counters, scalars) is replicated
-    param_leaves = jax.tree_util.tree_leaves(state.params)
-    param_sh_leaves = jax.tree_util.tree_leaves(param_sh)
-    shape_to_sharding = {}
-    for leaf, sh in zip(param_leaves, param_sh_leaves):
-        shape_to_sharding.setdefault((leaf.shape, str(leaf.dtype)), sh)
-
-    def match(leaf):
-        key = (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", "")))
-        return shape_to_sharding.get(key, NamedSharding(mesh, P()))
-
-    opt_sh = jax.tree_util.tree_map(match, state.opt_state)
+    opt_sh = _match_shardings(state.params, param_sh, state.opt_state, mesh)
     return TrainState(params=param_sh, opt_state=opt_sh,
                       step=NamedSharding(mesh, P()))
 
@@ -165,6 +155,125 @@ def make_sharded_fused_predict(gaze_model: GazeModel, mesh: Mesh, *,
             )
             cache[key] = jitted
         return jitted(c3d_params, gaze_params, video_frames)
+
+    return wrapper
+
+
+def _match_shardings(ref_params, ref_shardings, tree, mesh: Mesh):
+    """Sharding pytree for `tree` (e.g. optimizer state): leaves whose
+    (shape, dtype) matches a param leaf inherit that param's sharding,
+    everything else (counters, scalars) is replicated."""
+    shape_to_sharding = {}
+    for leaf, sh in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(ref_shardings)):
+        shape_to_sharding.setdefault((leaf.shape, str(leaf.dtype)), sh)
+
+    def match(leaf):
+        key = (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", "")))
+        return shape_to_sharding.get(key, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(match, tree)
+
+
+def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
+                                  finetune_c3d: bool = False,
+                                  c3d_tx=None,
+                                  use_flip: Optional[bool] = None,
+                                  compute_dtype=None,
+                                  model_parallel: Optional[bool] = None,
+                                  donate: bool = True) -> Callable:
+    """Multi-chip raw-video training: `models/pipeline.make_fused_train_step`
+    partitioned over the mesh — video batch on "data" (XLA psums the
+    gradients over ICI), gaze params per the model-parallel rules, the C3D
+    tower replicated (its conv kernels are small; its FLOPs scale with the
+    data axis).
+
+    Same contract as the single-chip step: `step(gaze_params, opt_state,
+    c3d_params, batch, rng) -> (gaze_params, opt_state, c3d_params,
+    metrics)` with `opt_state` from `pipeline.init_fused_opt_state`. With
+    `finetune_c3d`, C3D gradients psum over "data" like the gaze ones and
+    the tower is rematerialized.
+    """
+    import jax.numpy as jnp
+    import optax as _optax
+
+    from ..models.pipeline import (
+        flip_half_video_batch,
+        make_fused_loss_fn,
+    )
+
+    cdt = jnp.bfloat16 if compute_dtype is None else compute_dtype
+    flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
+    c3d_tx = c3d_tx if c3d_tx is not None else tx
+    loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=cdt,
+                                 remat_c3d=finetune_c3d)
+
+    if finetune_c3d:
+        def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
+            k_flip, k_drop = jax.random.split(rng)
+            if flip:
+                batch = flip_half_video_batch(batch, k_flip)
+            gaze_opt, c3d_opt = opt_state
+            loss, (g_gaze, g_c3d) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(gaze_params, c3d_params, batch,
+                                         k_drop)
+            updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
+            gaze_params = _optax.apply_updates(gaze_params, updates)
+            c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
+            c3d_params = _optax.apply_updates(c3d_params, c3d_up)
+            return (gaze_params, (gaze_opt, c3d_opt), c3d_params,
+                    {"loss": loss})
+    else:
+        def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
+            k_flip, k_drop = jax.random.split(rng)
+            if flip:
+                batch = flip_half_video_batch(batch, k_flip)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                gaze_params, c3d_params, batch, k_drop)
+            updates, opt_state = tx.update(grads, opt_state, gaze_params)
+            gaze_params = _optax.apply_updates(gaze_params, updates)
+            return gaze_params, opt_state, {"loss": loss}
+
+    batch_sh = NamedSharding(mesh, batch_spec())
+    repl = NamedSharding(mesh, P())
+    cache: dict = {}
+
+    def wrapper(gaze_params, opt_state, c3d_params, batch, rng):
+        key = (jax.tree_util.tree_structure(gaze_params),
+               jax.tree_util.tree_structure(opt_state),
+               batch["video"].shape[1], tuple(sorted(batch)))
+        jitted = cache.get(key)
+        if jitted is None:
+            gaze_sh = params_shardings(gaze_params, mesh, model_parallel)
+            c3d_sh = params_shardings(c3d_params, mesh, False)  # replicated
+            if finetune_c3d:
+                opt_sh = (_match_shardings(gaze_params, gaze_sh,
+                                           opt_state[0], mesh),
+                          _match_shardings(c3d_params, c3d_sh,
+                                           opt_state[1], mesh))
+                out_sh = (gaze_sh, opt_sh, c3d_sh, {"loss": repl})
+                donate_args = (0, 1, 2) if donate else ()
+            else:
+                opt_sh = _match_shardings(gaze_params, gaze_sh, opt_state,
+                                          mesh)
+                out_sh = (gaze_sh, opt_sh, {"loss": repl})
+                donate_args = (0, 1) if donate else ()
+            batch_shardings = {k: batch_sh for k in batch}
+            jitted = jax.jit(
+                raw_step,
+                in_shardings=(gaze_sh, opt_sh, c3d_sh, batch_shardings,
+                              repl),
+                out_shardings=out_sh,
+                donate_argnums=donate_args,
+            )
+            cache[key] = jitted
+        if finetune_c3d:
+            return jitted(gaze_params, opt_state, c3d_params, batch, rng)
+        # frozen tower passes through HOST-side (returning a non-donated
+        # input from the jit would copy it), same as the single-chip step
+        gaze_params, opt_state, metrics = jitted(gaze_params, opt_state,
+                                                 c3d_params, batch, rng)
+        return gaze_params, opt_state, c3d_params, metrics
 
     return wrapper
 

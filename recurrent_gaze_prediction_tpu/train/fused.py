@@ -280,7 +280,11 @@ def make_fused_eval_step(gaze_model: GazeModel, *,
     return eval_step
 
 
-def _device_batch(batch: dict) -> dict:
+def _device_batch(batch: dict, mesh=None) -> dict:
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        return shard_batch(batch, mesh)
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "clipnames"}
 
 
@@ -291,6 +295,7 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
               c3d_tx=None,
               compute_dtype=jnp.bfloat16,
               train_dir: Optional[str] = None,
+              mesh=None,
               metric_writer: Optional[Callable[[int, dict], None]] = None
               ) -> FusedTrainState:
     """Train the fused raw-video program until `exp.schedule.max_steps`.
@@ -299,6 +304,11 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
     logging cadences, periodic + final checkpointing with auto-resume
     (both param trees and the optimizer state round-trip, so a resumed
     joint fine-tune continues exactly), SIGTERM checkpoint-and-stop.
+
+    `mesh` (a `jax.sharding.Mesh`) switches the step to
+    `parallel.make_sharded_fused_train_step`: the video batch shards over
+    the "data" axis (gradients psum over ICI), gaze params follow the
+    model-parallel rules, and batch_size must divide by the data axis.
     """
     import signal
 
@@ -309,9 +319,20 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
     rng = jax.random.PRNGKey(exp.seed)
     lr_schedule = build_schedule(exp.optimizer)
 
-    train_step = pipeline.make_fused_train_step(
-        gaze_model, tx, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
-        compute_dtype=compute_dtype)
+    if mesh is not None:
+        from ..parallel import DATA_AXIS, make_sharded_fused_train_step
+
+        n_data = mesh.shape[DATA_AXIS]
+        if batch_size % n_data:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"the data axis ({n_data})")
+        train_step = make_sharded_fused_train_step(
+            gaze_model, tx, mesh, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
+            compute_dtype=compute_dtype)
+    else:
+        train_step = pipeline.make_fused_train_step(
+            gaze_model, tx, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
+            compute_dtype=compute_dtype)
     eval_step = make_fused_eval_step(gaze_model,
                                      compute_dtype=compute_dtype)
 
@@ -343,11 +364,18 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
 
     gaze_params, opt_state, c3d_params = (state.gaze_params,
                                           state.opt_state, state.c3d_params)
+    if mesh is not None and not finetune_c3d:
+        # place the frozen tower on the mesh ONCE: it is never a jit
+        # output, so without this every step would re-broadcast ~80 MB
+        # of replicated C3D weights through the jit's in_shardings
+        from ..parallel import replicate
+
+        c3d_params = replicate(c3d_params, mesh)
     step = int(state.step)
     n_train = max(len(train_data), 1)
     last_logged_step, t_logged = step, time.time()
     while step < sched_cfg.max_steps and not stop_requested["flag"]:
-        batch = _device_batch(train_data.next_batch(batch_size))
+        batch = _device_batch(train_data.next_batch(batch_size), mesh)
         rng, k_step = jax.random.split(rng)
         gaze_params, opt_state, c3d_params, metrics = train_step(
             gaze_params, opt_state, c3d_params, batch, k_step)
@@ -377,7 +405,8 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
 
         if valid_data is not None and len(valid_data) >= batch_size \
                 and step % sched_cfg.steps_per_validation == 0:
-            vbatch = _device_batch(valid_data.next_batch(batch_size))
+            vbatch = _device_batch(valid_data.next_batch(batch_size),
+                                   mesh)
             vloss = float(eval_step(gaze_params, c3d_params,
                                     vbatch)["loss"])
             log.infov(" [val   step %4d] fused loss: %.5f", step, vloss)

@@ -319,3 +319,104 @@ def test_temporal_sharded_frame_axis_guard():
         predict = make_temporal_sharded_fused_predict(
             model, mesh, compute_dtype=jnp.float32)
         predict(c3d_params, gaze_params, video)
+
+
+def test_sharded_fused_train_step_matches_single_device():
+    """Data-parallel raw-video training (C3D in-graph) matches the
+    single-chip fused step bit-for-bit-ish; frozen tower passes through."""
+    import optax
+
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_sharded_fused_train_step,
+    )
+
+    f = 32
+    t = pipeline.pipeline_timesteps(f)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=4,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(gaze_params)
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "video": rng0.randint(0, 255, (4, f, 48, 64, 3)).astype(np.uint8),
+        "gazemaps": rng0.rand(4, t, 49, 49).astype(np.float32) + 0.01,
+    }
+
+    # sharded step first: the single-chip step DONATES its param/opt inputs
+    mesh = make_mesh(data_parallel=4, model_parallel=1)
+    stepN = make_sharded_fused_train_step(model, tx, mesh, use_flip=False,
+                                          compute_dtype=jnp.float32,
+                                          donate=False)
+    gN, oN, cN, mN = stepN(gaze_params, opt_state, c3d_params,
+                           shard_batch(batch, mesh), jax.random.PRNGKey(7))
+
+    step1 = pipeline.make_fused_train_step(model, tx, use_flip=False,
+                                           compute_dtype=jnp.float32)
+    g1, o1, c1, m1 = step1(gaze_params, opt_state, c3d_params,
+                           {k: jnp.asarray(v) for k, v in batch.items()},
+                           jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(gN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # frozen tower untouched on both paths
+    for a, b in zip(jax.tree_util.tree_leaves(c1),
+                    jax.tree_util.tree_leaves(cN)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_fused_train_step_finetune_joint():
+    """Joint fine-tuning on a DPxMP mesh: both trees update, loss finite,
+    state round-trips a second step."""
+    import optax
+
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_sharded_fused_train_step,
+    )
+
+    f = 32
+    t = pipeline.pipeline_timesteps(f)
+    # small everywhere: the joint C3D backward is the most expensive
+    # compile in the suite, and the harness may have very few cores
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=2,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=64)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    tx = optax.adam(1e-3)
+    # test-sized backbone LR: big enough that a single SGD update cannot
+    # round away in fp32 (production uses ~1e-5)
+    c3d_tx = optax.sgd(1e-2)
+    opt_state = pipeline.init_fused_opt_state(tx, gaze_params, c3d_params,
+                                              c3d_tx=c3d_tx,
+                                              finetune_c3d=True)
+    mesh = make_mesh(data_parallel=2, model_parallel=2)
+    step = make_sharded_fused_train_step(model, tx, mesh,
+                                         finetune_c3d=True, c3d_tx=c3d_tx,
+                                         use_flip=False,
+                                         compute_dtype=jnp.float32,
+                                         donate=False)
+    rng0 = np.random.RandomState(0)
+    batch = shard_batch({
+        "video": rng0.randint(0, 255, (2, f, 48, 64, 3)).astype(np.uint8),
+        "gazemaps": rng0.rand(2, t, 49, 49).astype(np.float32) + 0.01,
+    }, mesh)
+    c3d_before = jax.tree_util.tree_map(np.asarray, c3d_params)
+    g, o, c, m = step(gaze_params, opt_state, c3d_params, batch,
+                      jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["loss"]))
+    max_delta = max(
+        float(np.max(np.abs(np.asarray(b) - a)))
+        for a, b in zip(jax.tree_util.tree_leaves(c3d_before),
+                        jax.tree_util.tree_leaves(c)))
+    assert max_delta > 0.0, "C3D tower did not update under finetune_c3d"
+    g, o, c, m2 = step(g, o, c, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(m2["loss"]))

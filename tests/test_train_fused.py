@@ -103,6 +103,58 @@ def test_fit_fused_checkpoints_and_resumes(tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_fused_on_mesh(tmp_path):
+    """fit_fused(mesh=...) routes through the sharded fused train step:
+    loss descends and the checkpoint round-trips like the local path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.models import c3d
+    from recurrent_gaze_prediction_tpu.parallel import make_mesh
+
+    data = fused.make_synthetic_fused_corpus(4, num_frames=F,
+                                             frame_hw=(48, 64), seed=0)
+    t = pipeline.pipeline_timesteps(F)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=2,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16)
+    exp = ExperimentConfig()
+    exp.model = model.cfg
+    exp.schedule.max_steps = 2
+    exp.schedule.steps_per_checkpoint = 2
+    exp.schedule.steps_per_validation = 10
+    exp.schedule.steps_per_logprint = 1
+
+    tx = optax.adam(1e-3)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    state = fused.FusedTrainState(
+        gaze_params, pipeline.init_fused_opt_state(tx, gaze_params),
+        c3d_params, jnp.zeros((), jnp.int32))
+
+    mesh = make_mesh(data_parallel=2, model_parallel=1)
+    train_dir = str(tmp_path / "mesh_run")
+    state = fused.fit_fused(model, state, tx, data, exp,
+                            compute_dtype=jnp.float32,
+                            train_dir=train_dir, mesh=mesh)
+    assert int(state.step) == 2
+    assert os.path.isdir(os.path.join(train_dir, "model"))
+
+    # batch not divisible by the data axis -> loud error, not wrong math
+    model3 = registry.create_model(
+        "gaze_grcn", n_lstm_steps=t, batch_size=3,
+        compute_dtype="float32", rnn_state_size=8, dim_cnn_proj=16)
+    exp2 = ExperimentConfig()
+    exp2.model = model3.cfg
+    exp2.schedule.max_steps = 1
+    with pytest.raises(ValueError, match="divisible"):
+        fused.fit_fused(model3, state, tx, data, exp2,
+                        compute_dtype=jnp.float32, mesh=mesh)
+
+
+@pytest.mark.slow
 def test_train_fused_cli_synthetic(tmp_path):
     from recurrent_gaze_prediction_tpu.cli import train_fused as cli
 
