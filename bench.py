@@ -115,6 +115,48 @@ def bench_inference_int8():
     return b * f * n_iters / elapsed
 
 
+def bench_fused_train_step(b: int = 8, f: int = 160):
+    """Raw-video TRAIN step (C3D in-graph, frozen tower — the reference's
+    feature-extractor regime with extraction folded into the step):
+    raw frames/sec through training. Same clip shapes as bench_inference
+    so the train and inference rows are directly comparable."""
+    import optax
+
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.models import c3d, pipeline
+
+    import numpy as np
+
+    t = pipeline.pipeline_timesteps(f)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=b,
+                                  compute_dtype="bfloat16")
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params = model.init(jax.random.PRNGKey(1))
+    tx = optax.adam(1e-3)
+    opt_state = pipeline.init_fused_opt_state(tx, gaze_params)
+    step = pipeline.make_fused_train_step(model, tx)
+
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "video": jnp.asarray(rng0.randint(0, 255, (b, f, 128, 171, 3))
+                             .astype(np.uint8)),
+        "gazemaps": jnp.asarray(rng0.rand(b, t, 49, 49)
+                                .astype(np.float32) + 0.01),
+    }
+    rng = jax.random.PRNGKey(2)
+    gp, op, cp = gaze_params, opt_state, c3d_params
+    gp, op, cp, metrics = step(gp, op, cp, batch, rng)  # compile + warmup
+    float(metrics["loss"])
+
+    n_iters = 10
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        gp, op, cp, metrics = step(gp, op, cp, batch, rng)
+    assert float(metrics["loss"]) != 0.0  # state-chained: syncs the loop
+    elapsed = time.perf_counter() - start
+    return b * f * n_iters / elapsed
+
+
 def bench_train_step(b: int = 16, t: int = 42):
     """Feature-fed gaze_grcn train step at the reference's shape regime
     (T=42): step latency + MFU. State chaining (step i+1 consumes step i's
@@ -168,6 +210,10 @@ def main() -> None:
         int8_fps = None  # int8 conv unsupported on this backend
     train_ms, train_mfu = bench_train_step(16)
     train56_ms, train56_mfu = bench_train_step(56)
+    try:
+        fused_train_fps = bench_fused_train_step()
+    except Exception:
+        fused_train_fps = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -180,6 +226,8 @@ def main() -> None:
         "train_step_ms_b56": round(train56_ms, 2),
         "train_mfu_b56": round(train56_mfu, 4) if train56_mfu else None,
         "train_frames_per_sec_b56": round(56 * 42 / (train56_ms / 1e3), 0),
+        "fused_train_raw_frames_per_sec": (
+            round(fused_train_fps, 1) if fused_train_fps else None),
         "device": jax.devices()[0].device_kind,
     }))
 

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_parallel", default=1, type=int,
                         help="width of the \"model\" mesh axis (shards the "
                              "wide FC/projection kernels)")
+    parser.add_argument("--accum_steps", default=None, type=int,
+                        help="gradient-accumulation microbatches per "
+                             "optimizer update (batch_size must divide; "
+                             "trades step latency for activation memory)")
     parser.add_argument("--compute_dtype", default=None)
     parser.add_argument("--seed", default=0, type=int)
     return parser
@@ -140,6 +144,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         exp.optimizer.initial_learning_rate = args.learning_rate
     if args.max_steps is not None:
         exp.schedule.max_steps = args.max_steps
+    if args.accum_steps is not None:
+        exp.optimizer.accum_steps = args.accum_steps
 
     # unroll length follows the clip length through the fused protocol
     t = fused.pipeline.pipeline_timesteps(args.num_frames)

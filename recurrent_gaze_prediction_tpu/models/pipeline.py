@@ -214,12 +214,65 @@ def make_fused_loss_fn(gaze_model: GazeModel, *,
     return loss_fn
 
 
+def make_fused_grads_fn(loss_fn, *, finetune_c3d: bool,
+                        accum_steps: int = 1):
+    """`grads(gaze_params, c3d_params, batch, k_drop) -> (loss, grads)`
+    over the fused loss; grads is the gaze tree, or (gaze, c3d) trees
+    when `finetune_c3d`.
+
+    `accum_steps > 1`: gradient accumulation over a `lax.scan` of
+    microbatch passes with ONE result — same mean-over-batch gradient
+    (the sequence loss divides by B*T), 1/accum_steps the activation
+    memory. Microbatch rows are STRIDED (row j of microbatch i is batch
+    row j*accum_steps+i) so under a "data"-sharded batch every
+    microbatch stays balanced across shards.
+    """
+    argnums = (0, 1) if finetune_c3d else 0
+    vg = jax.value_and_grad(loss_fn, argnums=argnums)
+    if accum_steps == 1:
+        return vg
+
+    def tree_zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, x.dtype), tree)
+
+    def grads(gaze_params, c3d_params, batch, k_drop):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch size {b} not divisible by "
+                             f"accum_steps {accum_steps}")
+        micro = {
+            k: jnp.moveaxis(
+                v.reshape(b // accum_steps, accum_steps, *v.shape[1:]),
+                1, 0)
+            for k, v in batch.items()
+        }
+        keys = jax.random.split(k_drop, accum_steps)
+        zeros = ((tree_zeros(gaze_params), tree_zeros(c3d_params))
+                 if finetune_c3d else tree_zeros(gaze_params))
+
+        def body(carry, xs):
+            mb, key = xs
+            loss, g = vg(gaze_params, c3d_params, mb, key)
+            return (carry[0] + loss,
+                    jax.tree_util.tree_map(jnp.add, carry[1], g)), None
+
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zeros), (micro, keys))
+        inv = 1.0 / accum_steps
+        return (loss_sum * inv,
+                jax.tree_util.tree_map(lambda g: g * inv, grad_sum))
+
+    return grads
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
                           c3d_tx=None,
                           use_flip: Optional[bool] = None,
                           compute_dtype=jnp.bfloat16,
-                          remat_c3d: Optional[bool] = None):
+                          remat_c3d: Optional[bool] = None,
+                          accum_steps: int = 1):
     """End-to-end training FROM RAW VIDEO: the C3D extractor sits inside
     the training graph, so the host ships uint8/float frames instead of
     fp32 conv5b features (~12x less wire traffic — BENCHMARKS.md "input
@@ -250,6 +303,11 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
     (`train/state.make_train_step`): `rng` drives the random half-batch
     horizontal flip (per `use_flip` / cfg.use_flip_batch) and the gaze
     model's dropout.
+
+    `accum_steps > 1`: gradient accumulation (`make_fused_grads_fn`) —
+    raw-video batches are where activation memory actually bites
+    ([B,F,H,W,3] frames plus C3D intermediates), so a big logical batch
+    can train in accum_steps microbatch passes with one update.
     """
     import optax
 
@@ -260,6 +318,8 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
 
     loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=compute_dtype,
                                  remat_c3d=remat_c3d)
+    grads_fn = make_fused_grads_fn(loss_fn, finetune_c3d=finetune_c3d,
+                                   accum_steps=accum_steps)
 
     if finetune_c3d:
         def joint_step(gaze_params, opt_state, c3d_params, batch, rng):
@@ -267,9 +327,8 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
             if flip:
                 batch = flip_half_video_batch(batch, k_flip)
             gaze_opt, c3d_opt = opt_state
-            loss, (g_gaze, g_c3d) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1))(gaze_params, c3d_params, batch,
-                                         k_drop)
+            loss, (g_gaze, g_c3d) = grads_fn(gaze_params, c3d_params,
+                                             batch, k_drop)
             updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
             gaze_params = optax.apply_updates(gaze_params, updates)
             c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
@@ -283,8 +342,7 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
         k_flip, k_drop = jax.random.split(rng)
         if flip:
             batch = flip_half_video_batch(batch, k_flip)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            gaze_params, c3d_params, batch, k_drop)
+        loss, grads = grads_fn(gaze_params, c3d_params, batch, k_drop)
         updates, opt_state = tx.update(grads, opt_state, gaze_params)
         gaze_params = optax.apply_updates(gaze_params, updates)
         return gaze_params, opt_state, {"loss": loss}

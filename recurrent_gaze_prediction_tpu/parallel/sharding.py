@@ -181,7 +181,8 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
                                   use_flip: Optional[bool] = None,
                                   compute_dtype=None,
                                   model_parallel: Optional[bool] = None,
-                                  donate: bool = True) -> Callable:
+                                  donate: bool = True,
+                                  accum_steps: int = 1) -> Callable:
     """Multi-chip raw-video training: `models/pipeline.make_fused_train_step`
     partitioned over the mesh — video batch on "data" (XLA psums the
     gradients over ICI), gaze params per the model-parallel rules, the C3D
@@ -199,6 +200,7 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
 
     from ..models.pipeline import (
         flip_half_video_batch,
+        make_fused_grads_fn,
         make_fused_loss_fn,
     )
 
@@ -207,6 +209,8 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
     c3d_tx = c3d_tx if c3d_tx is not None else tx
     loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=cdt,
                                  remat_c3d=finetune_c3d)
+    grads_fn = make_fused_grads_fn(loss_fn, finetune_c3d=finetune_c3d,
+                                   accum_steps=accum_steps)
 
     if finetune_c3d:
         def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
@@ -214,9 +218,8 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
             if flip:
                 batch = flip_half_video_batch(batch, k_flip)
             gaze_opt, c3d_opt = opt_state
-            loss, (g_gaze, g_c3d) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1))(gaze_params, c3d_params, batch,
-                                         k_drop)
+            loss, (g_gaze, g_c3d) = grads_fn(gaze_params, c3d_params,
+                                             batch, k_drop)
             updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
             gaze_params = _optax.apply_updates(gaze_params, updates)
             c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
@@ -228,8 +231,7 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
             k_flip, k_drop = jax.random.split(rng)
             if flip:
                 batch = flip_half_video_batch(batch, k_flip)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                gaze_params, c3d_params, batch, k_drop)
+            loss, grads = grads_fn(gaze_params, c3d_params, batch, k_drop)
             updates, opt_state = tx.update(grads, opt_state, gaze_params)
             gaze_params = _optax.apply_updates(gaze_params, updates)
             return gaze_params, opt_state, {"loss": loss}

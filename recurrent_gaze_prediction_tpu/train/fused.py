@@ -319,6 +319,7 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
     rng = jax.random.PRNGKey(exp.seed)
     lr_schedule = build_schedule(exp.optimizer)
 
+    accum = max(int(getattr(exp.optimizer, "accum_steps", 1) or 1), 1)
     if mesh is not None:
         from ..parallel import DATA_AXIS, make_sharded_fused_train_step
 
@@ -328,11 +329,11 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
                              f"the data axis ({n_data})")
         train_step = make_sharded_fused_train_step(
             gaze_model, tx, mesh, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, accum_steps=accum)
     else:
         train_step = pipeline.make_fused_train_step(
             gaze_model, tx, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, accum_steps=accum)
     eval_step = make_fused_eval_step(gaze_model,
                                      compute_dtype=compute_dtype)
 

@@ -204,6 +204,51 @@ def test_fused_train_step_finetune_c3d():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_fused_gradient_accumulation_matches_full_batch():
+    """accum_steps=k on the fused raw-video step produces the same update
+    as the full-batch step (SGD, dropout off — the microbatch passes fold
+    different dropout keys by design)."""
+    import optax
+
+    f = 32
+    t = pipeline.pipeline_timesteps(f)
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=4,
+                                  compute_dtype="float32", rnn_state_size=8,
+                                  dim_cnn_proj=16, dropout_keep_prob=1.0)
+    c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+    gaze_params0 = model.init(jax.random.PRNGKey(1))
+    tx = optax.sgd(1e-2)
+    rng0 = np.random.RandomState(0)
+    batch = {
+        "video": jnp.asarray(rng0.randint(0, 255, (4, f, 48, 64, 3))
+                             .astype(np.uint8)),
+        "gazemaps": jnp.asarray(rng0.rand(4, t, 49, 49).astype(np.float32)
+                                + 0.01),
+    }
+
+    def run(accum):
+        gp = jax.tree_util.tree_map(jnp.array, gaze_params0)
+        opt = tx.init(gp)
+        step = pipeline.make_fused_train_step(
+            model, tx, use_flip=False, compute_dtype=jnp.float32,
+            accum_steps=accum)
+        gp, opt, _, m = step(gp, opt, c3d_params, batch,
+                             jax.random.PRNGKey(7))
+        return gp, float(m["loss"])
+
+    g1, loss1 = run(1)
+    g2, loss2 = run(2)
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # indivisible batch -> clear error
+    with pytest.raises(ValueError, match="divisible"):
+        run(3)
+
+
 def test_fused_pipeline_end_to_end():
     """Raw frames -> C3D -> gaze_grcn, one jitted program."""
     t_frames = 32  # 2 windows; [15::5] gives frames 15,20,25,30 -> T=2
