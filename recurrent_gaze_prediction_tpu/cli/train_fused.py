@@ -50,10 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_frames", default=80, type=int,
                         help="static clip length; shorter videos are "
                              "zero-padded, longer truncated")
-    parser.add_argument("--frame_hw", default=[128, 171], type=int,
+    parser.add_argument("--frame_hw", default=None, type=int,
                         nargs=2, help="host-side resize target (default "
-                        "128x171, the C3D VIDEO_DATA size — skips the "
-                        "in-graph resize)")
+                        "128x171 for --dataset videos, the C3D VIDEO_DATA "
+                        "size — skips the in-graph resize; 64x80 for "
+                        "--dataset synthetic)")
     parser.add_argument("--max_clips", default=None, type=int)
     parser.add_argument("--synthetic_clips", default=8, type=int)
     parser.add_argument("--valid_clips", default=0, type=int,
@@ -150,7 +151,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     # unroll length follows the clip length through the fused protocol
     t = fused.pipeline.pipeline_timesteps(args.num_frames)
     if t <= 0:
-        log.error("--num_frames %d yields no timesteps (need >= 20)",
+        # pipeline_timesteps(F) = min(F // 16, ceil((F - 15) / 5)) is
+        # positive for any F >= 16 (one C3D window, one gaze frame)
+        log.error("--num_frames %d yields no timesteps (need >= 16)",
                   args.num_frames)
         return 1
     overrides["n_lstm_steps"] = t
@@ -160,13 +163,17 @@ def main(argv: Optional[list[str]] = None) -> int:
     if args.dataset == "synthetic":
         corpus = fused.make_synthetic_fused_corpus(
             args.synthetic_clips, num_frames=args.num_frames,
+            frame_hw=(tuple(args.frame_hw) if args.frame_hw is not None
+                      else (64, 80)),
             gazemap_hw=(model.cfg.gazemap_height,
                         model.cfg.gazemap_width),
             seed=args.seed)
     else:
         corpus = fused.load_fused_corpus(
             args.videos_root, args.gaze_root,
-            num_frames=args.num_frames, frame_hw=tuple(args.frame_hw),
+            num_frames=args.num_frames,
+            frame_hw=(tuple(args.frame_hw) if args.frame_hw is not None
+                      else (128, 171)),
             gazemap_hw=(model.cfg.gazemap_height,
                         model.cfg.gazemap_width),
             max_clips=args.max_clips)
@@ -198,6 +205,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     tx = build_optimizer(exp.optimizer, gaze_params,
                          freeze_shallownet=args.freeze_shallownet)
     c3d_tx = None
+    if args.c3d_lr is not None and not args.finetune_c3d:
+        log.warn("--c3d_lr %g has no effect without --finetune_c3d "
+                 "(the C3D tower stays frozen)", args.c3d_lr)
     if args.finetune_c3d and args.c3d_lr is not None:
         import optax
 

@@ -28,8 +28,8 @@ from jax import lax
 
 from ..config import ModelConfig
 from ..ops import initializers as init
-from ..ops.layers import (conv2d_transpose, conv2d_transpose_subpixel,
-                          dropout, frozen_batch_norm, linear)
+from ..ops.layers import (conv2d_transpose, dropout, frozen_batch_norm,
+                          linear)
 from ..ops.normalize import (
     kl_divergence_2d,
     normalize_probability_map,
@@ -201,12 +201,40 @@ def _decoder_matrix(params: dict):
     return m.reshape(7 * 7 * c_in, 49 * 49), bias
 
 
+# Below this many folded frames the ~4 GFLOP per-call kernel composition
+# in `_decoder_matrix` exceeds the useful decoder work (~30 MFLOP/frame),
+# so small-N callers (streaming chunk steps at B=1, single-clip predicts)
+# take the stagewise deconvs instead. Crossover estimate: composition at
+# low MFU ~0.4 ms vs the stagewise-vs-composed per-frame delta ~0.9 us.
+_COMPOSE_MIN_N = 256
+
+
 def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
                   rng: Optional[jax.Array], train: bool,
                   compute_dtype=None) -> jax.Array:
     """[N, 7, 7, C] -> [N, 49, 49]: the reference's 3-deconv + head
-    decoder (`gaze_grcn.py:318-366`), computed as ONE composed matmul
-    (see `_decoder_matrix`). N is B*T folded."""
+    decoder (`gaze_grcn.py:318-366`). N is B*T folded.
+
+    Dispatches on the (trace-time static) N: large N runs as ONE composed
+    matmul (`apply_decoder_composed`); for small N the per-call kernel
+    composition cost dominates, so the stagewise form is used. The two
+    are equal up to float reassociation (pinned in tests/test_models.py).
+    """
+    if x.shape[0] < _COMPOSE_MIN_N:
+        return apply_decoder_stagewise(params, x, keep_prob=keep_prob,
+                                       rng=rng, train=train,
+                                       compute_dtype=compute_dtype)
+    return apply_decoder_composed(params, x, keep_prob=keep_prob, rng=rng,
+                                  train=train, compute_dtype=compute_dtype)
+
+
+def apply_decoder_composed(params: dict, x: jax.Array, *, keep_prob: float,
+                           rng: Optional[jax.Array], train: bool,
+                           compute_dtype=None) -> jax.Array:
+    """The decoder as ONE dense [N,6272]x[6272,2401] matmul (see
+    `_decoder_matrix`); autodiff carries gradients back to the original
+    up1/up2/up3/out_W kernels, so checkpoints and training dynamics are
+    unchanged."""
     m, bias = _decoder_matrix(params)
     if compute_dtype is not None:
         m = m.astype(compute_dtype)

@@ -225,7 +225,10 @@ def make_fused_grads_fn(loss_fn, *, finetune_c3d: bool,
     (the sequence loss divides by B*T), 1/accum_steps the activation
     memory. Microbatch rows are STRIDED (row j of microbatch i is batch
     row j*accum_steps+i) so under a "data"-sharded batch every
-    microbatch stays balanced across shards.
+    microbatch stays balanced across shards — provided batch is
+    divisible by n_data * accum_steps (validated by `fit_fused` when a
+    mesh is in play; with b/accum not divisible by the data axis GSPMD
+    would reshard each microbatch inside the scan).
     """
     argnums = (0, 1) if finetune_c3d else 0
     vg = jax.value_and_grad(loss_fn, argnums=argnums)

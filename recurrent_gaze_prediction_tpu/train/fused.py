@@ -184,9 +184,16 @@ def load_fused_corpus(videos_root: str, gaze_root: str, *,
             pad = np.zeros((num_frames - len(stacked),) + stacked.shape[1:],
                            stacked.dtype)
             stacked = np.concatenate([stacked, pad])
+        try:
+            gaze = _gaze_targets_for_clip(mat_path, num_frames, gazemap_hw)
+        except ValueError as e:
+            # e.g. an all-zero gazemap record (`gazemap.fill_missing_frames`
+            # raises) — skip the clip like `data/crc.read_clip` does instead
+            # of aborting the whole corpus load
+            log.warn("skipping %s: %s", clip, e)
+            continue
         vids.append(stacked)
-        gazes.append(_gaze_targets_for_clip(mat_path, num_frames,
-                                            gazemap_hw))
+        gazes.append(gaze)
         names.append(clip)
     if not vids:
         raise ValueError(f"no usable (video, gaze) pairs under "
@@ -327,6 +334,14 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
         if batch_size % n_data:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"the data axis ({n_data})")
+        if accum > 1 and batch_size % (n_data * accum):
+            # each microbatch has batch_size/accum rows; those rows must
+            # still split evenly over the data axis or GSPMD reshards the
+            # microbatch inside the accumulation scan every step
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis * "
+                f"accum_steps ({n_data} * {accum}); microbatches would be "
+                f"unbalanced across data shards")
         train_step = make_sharded_fused_train_step(
             gaze_model, tx, mesh, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
             compute_dtype=compute_dtype, accum_steps=accum)
@@ -377,7 +392,11 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
     last_logged_step, t_logged = step, time.time()
     while step < sched_cfg.max_steps and not stop_requested["flag"]:
         batch = _device_batch(train_data.next_batch(batch_size), mesh)
-        rng, k_step = jax.random.split(rng)
+        # key is a pure function of (seed, step) — like
+        # `train/state.make_train_step`'s fold_in(rng, state.step) — so a
+        # resumed run at step N draws the same flip/dropout randomness the
+        # uninterrupted run would have, not a replay of steps 1..N's keys
+        k_step = jax.random.fold_in(rng, step)
         gaze_params, opt_state, c3d_params, metrics = train_step(
             gaze_params, opt_state, c3d_params, batch, k_step)
         step += 1

@@ -196,9 +196,21 @@ def test_linearized_decoder_matches_stagewise():
 
     a = common.apply_decoder_stagewise(params, x, keep_prob=1.0, rng=None,
                                        train=False)
-    b = common.apply_decoder(params, x, keep_prob=1.0, rng=None,
-                             train=False)
+    b = common.apply_decoder_composed(params, x, keep_prob=1.0, rng=None,
+                                      train=False)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+
+    # the public entry dispatches on N: small N -> stagewise (per-call
+    # composition would exceed the useful work), large N -> composed
+    small = common.apply_decoder(params, x, keep_prob=1.0, rng=None,
+                                 train=False)
+    np.testing.assert_array_equal(np.asarray(small), np.asarray(a))
+    xl = jnp.tile(x, (common._COMPOSE_MIN_N // 4, 1, 1, 1))
+    large = common.apply_decoder(params, xl, keep_prob=1.0, rng=None,
+                                 train=False)
+    # allclose, not equal: a wider N picks a different matmul tiling
+    np.testing.assert_allclose(np.asarray(large[:4]), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
 
     def loss_stage(p):
@@ -207,8 +219,8 @@ def test_linearized_decoder_matches_stagewise():
         return (out ** 2).sum()
 
     def loss_lin(p):
-        out = common.apply_decoder(p, x, keep_prob=1.0, rng=None,
-                                   train=False)
+        out = common.apply_decoder_composed(p, x, keep_prob=1.0, rng=None,
+                                            train=False)
         return (out ** 2).sum()
 
     ga = jax.grad(loss_stage)(params)

@@ -224,3 +224,96 @@ def test_load_fused_corpus_from_avi(tmp_path):
 def test_load_fused_corpus_missing_inputs(tmp_path):
     with pytest.raises(ValueError, match="no videos"):
         fused.load_fused_corpus(str(tmp_path), str(tmp_path), num_frames=F)
+
+
+@pytest.mark.slow
+def test_load_fused_corpus_skips_allzero_gaze(tmp_path):
+    """A clip whose gaze record is all-zero for every user is SKIPPED with
+    a warning (like `data/crc.read_clip`), not a corpus-wide crash."""
+    cv2 = pytest.importorskip("cv2")
+    import h5py
+
+    videos = tmp_path / "videos"
+    gaze = tmp_path / "gazemap"
+    videos.mkdir()
+    gaze.mkdir()
+    rng = np.random.RandomState(0)
+    oh, ow = 36, 48
+    for ci, zero in enumerate([False, True]):
+        clip = f"clip{ci:03d}"
+        writer = cv2.VideoWriter(str(videos / (clip + ".avi")),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                                 (ow, oh))
+        assert writer.isOpened()
+        for _ in range(F):
+            writer.write(rng.randint(0, 255, (oh, ow, 3), np.uint8))
+        writer.release()
+        with h5py.File(gaze / (clip + ".mat"), "w") as mat:
+            grp = mat.create_group("data")
+            user = grp.create_group("user00")
+            maps = np.zeros((F, 49, 49), np.float32)
+            if not zero:
+                maps[np.arange(F), rng.randint(0, 49, F),
+                     rng.randint(0, 49, F)] = 1.0
+            user["gazemap49x49"] = maps
+
+    data = fused.load_fused_corpus(str(videos), str(gaze), num_frames=F,
+                                   frame_hw=(40, 56))
+    assert data.clipnames == ["clip000"]  # the all-zero clip was skipped
+    assert len(data) == 1
+
+
+@pytest.mark.slow
+def test_fit_fused_resume_matches_uninterrupted(tmp_path):
+    """A preempted-and-resumed run must land on the SAME params as the
+    uninterrupted run: the per-step RNG key is fold_in(seed, step), not a
+    split chain replayed from the head on resume (round-3 review fix)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.models import c3d
+
+    # 2 clips, batch 2: every batch is the whole corpus, so the batch
+    # stream is step-deterministic and any param divergence is RNG-driven
+    data = fused.make_synthetic_fused_corpus(2, num_frames=F,
+                                             frame_hw=(48, 64), seed=0)
+    t = pipeline.pipeline_timesteps(F)
+
+    def run(train_dir, max_steps, state=None):
+        model = registry.create_model(
+            "gaze_grcn", n_lstm_steps=t, batch_size=2,
+            compute_dtype="float32", rnn_state_size=8, dim_cnn_proj=16)
+        exp = ExperimentConfig()
+        exp.model = model.cfg
+        exp.schedule.max_steps = max_steps
+        exp.schedule.steps_per_checkpoint = 2
+        exp.schedule.steps_per_validation = 100
+        exp.schedule.steps_per_logprint = 100
+        tx = optax.adam(1e-3)
+        if state is None:
+            c3d_params = c3d.init_params(jax.random.PRNGKey(0))
+            gaze_params = model.init(jax.random.PRNGKey(1))
+            state = fused.FusedTrainState(
+                gaze_params, pipeline.init_fused_opt_state(tx, gaze_params),
+                c3d_params, jnp.zeros((), jnp.int32))
+        return fused.fit_fused(model, state, tx, data, exp,
+                               compute_dtype=jnp.float32,
+                               train_dir=train_dir)
+
+    # uninterrupted 4 steps
+    full = run(str(tmp_path / "full"), 4)
+    # interrupted: 2 steps, then a fresh process resumes to 4
+    run(str(tmp_path / "resumed"), 2)
+    resumed = run(str(tmp_path / "resumed"), 4)
+
+    assert int(full.step) == int(resumed.step) == 4
+    import jax
+
+    paths_a = jax.tree_util.tree_flatten_with_path(full.gaze_params)[0]
+    paths_b = jax.tree_util.tree_flatten_with_path(resumed.gaze_params)[0]
+    for (path, a), (_, b) in zip(paths_a, paths_b, strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"gaze_params{jax.tree_util.keystr(path)}")
