@@ -201,12 +201,16 @@ def _decoder_matrix(params: dict):
     return m.reshape(7 * 7 * c_in, 49 * 49), bias
 
 
-# Below this many folded frames the ~4 GFLOP per-call kernel composition
-# in `_decoder_matrix` exceeds the useful decoder work (~30 MFLOP/frame),
-# so small-N callers (streaming chunk steps at B=1, single-clip predicts)
-# take the stagewise deconvs instead. Crossover estimate: composition at
-# low MFU ~0.4 ms vs the stagewise-vs-composed per-frame delta ~0.9 us.
-_COMPOSE_MIN_N = 256
+# Below this many folded frames the per-call kernel composition in
+# `_decoder_matrix` exceeds the useful decoder work, so small-N callers
+# (streaming chunk steps at B=1, single-clip predicts) take the stagewise
+# deconvs instead. Measured on TPU v5e (bf16, fwd / fwd+bwd, ms/call —
+# BENCHMARKS.md "Decoder small-N dispatch"):
+#   N=8: comp 1.35/1.11 vs stage 0.94/0.96   (stagewise wins)
+#   N=42: comp 1.06/1.06 vs stage 1.09/1.18  (crossover)
+#   N=672: comp 1.23/1.22 vs stage 2.54/3.48
+#   N=2352: comp 1.63/1.55 vs stage 6.61/9.04
+_COMPOSE_MIN_N = 32
 
 
 def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
