@@ -18,6 +18,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -206,13 +207,19 @@ def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
     try:
         int8_fps = bench_inference_int8()
-    except Exception:
-        int8_fps = None  # int8 conv unsupported on this backend
+    except Exception as e:  # int8 conv unsupported on some backends —
+        # but print the cause so a real quant-path regression is not
+        # silently reported as "unsupported"
+        print(f"# int8 bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        int8_fps = None
     train_ms, train_mfu = bench_train_step(16)
     train56_ms, train56_mfu = bench_train_step(56)
     try:
         fused_train_fps = bench_fused_train_step()
-    except Exception:
+    except Exception as e:
+        print(f"# fused-train bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
         fused_train_fps = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",

@@ -223,8 +223,12 @@ def apply_decoder(params: dict, x: jax.Array, *, keep_prob: float,
     matmul (`apply_decoder_composed`); for small N the per-call kernel
     composition cost dominates, so the stagewise form is used. The two
     are equal up to float reassociation (pinned in tests/test_models.py).
+
+    Under `jax.export` with a symbolic batch, N is a symbolic dimension
+    and `N < 32` is undecidable — symbolic shapes always take the
+    composed path (the export targets are batch servers, i.e. large-N).
     """
-    if x.shape[0] < _COMPOSE_MIN_N:
+    if isinstance(x.shape[0], int) and x.shape[0] < _COMPOSE_MIN_N:
         return apply_decoder_stagewise(params, x, keep_prob=keep_prob,
                                        rng=rng, train=train,
                                        compute_dtype=compute_dtype)

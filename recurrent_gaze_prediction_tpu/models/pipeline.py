@@ -269,6 +269,63 @@ def make_fused_grads_fn(loss_fn, *, finetune_c3d: bool,
     return grads
 
 
+def make_fused_raw_step(gaze_model: GazeModel, tx, *,
+                        finetune_c3d: bool = False,
+                        c3d_tx=None,
+                        use_flip: Optional[bool] = None,
+                        compute_dtype=jnp.bfloat16,
+                        remat_c3d: Optional[bool] = None,
+                        accum_steps: int = 1):
+    """The UN-JITTED fused train-step body: flip augmentation, grads,
+    optax update(s). One definition shared by the single-chip jit
+    (`make_fused_train_step`) and the mesh-partitioned wrapper
+    (`parallel.sharding.make_sharded_fused_train_step`), so a change to
+    the step math cannot silently diverge between the two paths.
+
+    finetune_c3d=True: `step(gaze, opt, c3d, batch, rng) -> (gaze,
+    (gaze_opt, c3d_opt), c3d, metrics)`; False: `-> (gaze, opt, metrics)`
+    with the frozen tower passed through by the caller.
+    """
+    import optax
+
+    flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
+    c3d_tx = c3d_tx if c3d_tx is not None else tx
+    if remat_c3d is None:
+        remat_c3d = finetune_c3d
+
+    loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=compute_dtype,
+                                 remat_c3d=remat_c3d)
+    grads_fn = make_fused_grads_fn(loss_fn, finetune_c3d=finetune_c3d,
+                                   accum_steps=accum_steps)
+
+    if finetune_c3d:
+        def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
+            k_flip, k_drop = jax.random.split(rng)
+            if flip:
+                batch = flip_half_video_batch(batch, k_flip)
+            gaze_opt, c3d_opt = opt_state
+            loss, (g_gaze, g_c3d) = grads_fn(gaze_params, c3d_params,
+                                             batch, k_drop)
+            updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
+            gaze_params = optax.apply_updates(gaze_params, updates)
+            c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
+            c3d_params = optax.apply_updates(c3d_params, c3d_up)
+            return (gaze_params, (gaze_opt, c3d_opt), c3d_params,
+                    {"loss": loss})
+        return raw_step
+
+    def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
+        k_flip, k_drop = jax.random.split(rng)
+        if flip:
+            batch = flip_half_video_batch(batch, k_flip)
+        loss, grads = grads_fn(gaze_params, c3d_params, batch, k_drop)
+        updates, opt_state = tx.update(grads, opt_state, gaze_params)
+        gaze_params = optax.apply_updates(gaze_params, updates)
+        return gaze_params, opt_state, {"loss": loss}
+
+    return raw_step
+
+
 def make_fused_train_step(gaze_model: GazeModel, tx, *,
                           finetune_c3d: bool = False,
                           c3d_tx=None,
@@ -312,45 +369,15 @@ def make_fused_train_step(gaze_model: GazeModel, tx, *,
     ([B,F,H,W,3] frames plus C3D intermediates), so a big logical batch
     can train in accum_steps microbatch passes with one update.
     """
-    import optax
-
-    flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
-    c3d_tx = c3d_tx if c3d_tx is not None else tx
-    if remat_c3d is None:
-        remat_c3d = finetune_c3d
-
-    loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=compute_dtype,
-                                 remat_c3d=remat_c3d)
-    grads_fn = make_fused_grads_fn(loss_fn, finetune_c3d=finetune_c3d,
-                                   accum_steps=accum_steps)
+    raw_step = make_fused_raw_step(
+        gaze_model, tx, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
+        use_flip=use_flip, compute_dtype=compute_dtype,
+        remat_c3d=remat_c3d, accum_steps=accum_steps)
 
     if finetune_c3d:
-        def joint_step(gaze_params, opt_state, c3d_params, batch, rng):
-            k_flip, k_drop = jax.random.split(rng)
-            if flip:
-                batch = flip_half_video_batch(batch, k_flip)
-            gaze_opt, c3d_opt = opt_state
-            loss, (g_gaze, g_c3d) = grads_fn(gaze_params, c3d_params,
-                                             batch, k_drop)
-            updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
-            gaze_params = optax.apply_updates(gaze_params, updates)
-            c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
-            c3d_params = optax.apply_updates(c3d_params, c3d_up)
-            return (gaze_params, (gaze_opt, c3d_opt), c3d_params,
-                    {"loss": loss})
+        return jax.jit(raw_step, donate_argnums=(0, 1, 2))
 
-        return jax.jit(joint_step, donate_argnums=(0, 1, 2))
-
-    def frozen_step(gaze_params, opt_state, c3d_params, batch, rng):
-        k_flip, k_drop = jax.random.split(rng)
-        if flip:
-            batch = flip_half_video_batch(batch, k_flip)
-        loss, grads = grads_fn(gaze_params, c3d_params, batch, k_drop)
-        updates, opt_state = tx.update(grads, opt_state, gaze_params)
-        gaze_params = optax.apply_updates(gaze_params, updates)
-        return gaze_params, opt_state, {"loss": loss}
-
-    jitted = jax.jit(frozen_step, donate_argnums=(0, 1))
+    jitted = jax.jit(raw_step, donate_argnums=(0, 1))
 
     def step(gaze_params, opt_state, c3d_params, batch, rng):
         # c3d_params pass through on the HOST side: returning a

@@ -75,73 +75,6 @@ def conv2d_transpose(x: jax.Array, kernel: jax.Array, *,
     return _cast(out, out_dtype if out_dtype is not None else jnp.float32)
 
 
-def conv2d_transpose_subpixel(x: jax.Array, kernel: jax.Array, *,
-                              stride: int, compute_dtype=None,
-                              out_dtype=None) -> jax.Array:
-    """VALID transposed conv as ONE dense conv + depth-to-space.
-
-    Computes the SAME linear map as `conv2d_transpose(padding="VALID")`
-    (exact up to float reassociation; pinned in tests/test_ops.py), but
-    MXU-shaped: a k x k, stride-s deconv with small Cout runs its MAC
-    loop over only Cout lanes and its backward over dilated scatters —
-    the phase decomposition instead runs one ceil(k/s)^2 conv producing
-    s^2*Cout channels, then interleaves phases spatially. For the GRCN
-    decoder (5x5/s3 128->64 and 5x5/s2 64->32, `gaze_grcn.py:326-343`)
-    that turns 64/32-lane deconvs into 576/128-lane dense convs, forward
-    AND backward. Measured on v5e: decoder f+b 22.2 -> ~8 ms at B*T=2352
-    (BENCHMARKS.md round 3).
-
-    Derivation: with lax.conv_transpose's scatter-flipped-kernel
-    semantics, y[o] = sum_i x[i] * K[k-1-(o-s*i)]. Writing o = s*m + p
-    per phase p in [0,s): y[s*m+p] = sum_u x[m-u] * K[k-1-s*u-p], a
-    small causal conv per phase; all s^2 phases stack into one kernel
-    [tau, tau, Cin, s*s*Cout] with tau = ceil(k/s), x zero-padded tau-1
-    on every side, followed by depth-to-space and a crop to (in-1)*s+k.
-    """
-    s = int(stride)
-    if s == 1:
-        return conv2d_transpose(x, kernel, stride=1, padding="VALID",
-                                compute_dtype=compute_dtype,
-                                out_dtype=out_dtype)
-    kh, kw, cin, cout = kernel.shape
-    assert kh == kw, "square kernels only (decoder uses 5x5/7x7)"
-    k = kh
-    tau = -(-k // s)
-
-    # constant phase-selection matrix: S[a, p, j] = 1 iff the conv tap at
-    # (reversed) position a for phase p reads kernel row j = k-1-s*u-p
-    # with u = tau-1-a
-    sel = np.zeros((tau, s, k), np.float32)
-    for a in range(tau):
-        u = tau - 1 - a
-        for p in range(s):
-            j = k - 1 - s * u - p
-            if 0 <= j < k:
-                sel[a, p, j] = 1.0
-    sel = jnp.asarray(sel, kernel.dtype)
-
-    # fused kernel Q[a, b, cin, (p_r, p_c, cout)]
-    t1 = jnp.tensordot(sel, kernel, axes=([2], [0]))   # [a, pr, w, i, o]
-    t2 = jnp.tensordot(sel, t1, axes=([2], [2]))       # [b, pc, a, pr, i, o]
-    q = jnp.transpose(t2, (2, 0, 4, 3, 1, 5))          # [a, b, i, pr, pc, o]
-    q = q.reshape(tau, tau, cin, s * s * cout)
-
-    n, h, w = x.shape[:3]
-    xp = jnp.pad(x, ((0, 0), (tau - 1, tau - 1), (tau - 1, tau - 1),
-                     (0, 0)))
-    y = conv2d(xp, q, padding="VALID", compute_dtype=compute_dtype,
-               out_dtype=out_dtype if out_dtype is not None
-               else compute_dtype)
-    hp, wp = y.shape[1:3]                               # h+tau-1, w+tau-1
-    y = y.reshape(n, hp, wp, s, s, cout)
-    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, hp * s, wp * s,
-                                                     cout)
-    y = y[:, :(h - 1) * s + k, :(w - 1) * s + k, :]
-    if out_dtype is None:
-        y = y.astype(jnp.float32)
-    return y
-
-
 def conv3d(x: jax.Array, kernel: jax.Array, *,
            stride: Sequence[int] = (1, 1, 1),
            padding: str = "SAME", compute_dtype=None,

@@ -182,6 +182,7 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
                                   compute_dtype=None,
                                   model_parallel: Optional[bool] = None,
                                   donate: bool = True,
+                                  remat_c3d: Optional[bool] = None,
                                   accum_steps: int = 1) -> Callable:
     """Multi-chip raw-video training: `models/pipeline.make_fused_train_step`
     partitioned over the mesh — video batch on "data" (XLA psums the
@@ -196,45 +197,14 @@ def make_sharded_fused_train_step(gaze_model: GazeModel, tx, mesh: Mesh, *,
     the tower is rematerialized.
     """
     import jax.numpy as jnp
-    import optax as _optax
 
-    from ..models.pipeline import (
-        flip_half_video_batch,
-        make_fused_grads_fn,
-        make_fused_loss_fn,
-    )
+    from ..models.pipeline import make_fused_raw_step
 
     cdt = jnp.bfloat16 if compute_dtype is None else compute_dtype
-    flip = gaze_model.cfg.use_flip_batch if use_flip is None else use_flip
-    c3d_tx = c3d_tx if c3d_tx is not None else tx
-    loss_fn = make_fused_loss_fn(gaze_model, compute_dtype=cdt,
-                                 remat_c3d=finetune_c3d)
-    grads_fn = make_fused_grads_fn(loss_fn, finetune_c3d=finetune_c3d,
-                                   accum_steps=accum_steps)
-
-    if finetune_c3d:
-        def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
-            k_flip, k_drop = jax.random.split(rng)
-            if flip:
-                batch = flip_half_video_batch(batch, k_flip)
-            gaze_opt, c3d_opt = opt_state
-            loss, (g_gaze, g_c3d) = grads_fn(gaze_params, c3d_params,
-                                             batch, k_drop)
-            updates, gaze_opt = tx.update(g_gaze, gaze_opt, gaze_params)
-            gaze_params = _optax.apply_updates(gaze_params, updates)
-            c3d_up, c3d_opt = c3d_tx.update(g_c3d, c3d_opt, c3d_params)
-            c3d_params = _optax.apply_updates(c3d_params, c3d_up)
-            return (gaze_params, (gaze_opt, c3d_opt), c3d_params,
-                    {"loss": loss})
-    else:
-        def raw_step(gaze_params, opt_state, c3d_params, batch, rng):
-            k_flip, k_drop = jax.random.split(rng)
-            if flip:
-                batch = flip_half_video_batch(batch, k_flip)
-            loss, grads = grads_fn(gaze_params, c3d_params, batch, k_drop)
-            updates, opt_state = tx.update(grads, opt_state, gaze_params)
-            gaze_params = _optax.apply_updates(gaze_params, updates)
-            return gaze_params, opt_state, {"loss": loss}
+    raw_step = make_fused_raw_step(
+        gaze_model, tx, finetune_c3d=finetune_c3d, c3d_tx=c3d_tx,
+        use_flip=use_flip, compute_dtype=cdt, remat_c3d=remat_c3d,
+        accum_steps=accum_steps)
 
     batch_sh = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())

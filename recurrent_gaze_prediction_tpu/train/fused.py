@@ -118,20 +118,40 @@ def _gaze_targets_for_clip(mat_path: str, num_frames: int,
     key, sigma = gazemap_key_and_sigma(gh, gw)
     t = pipeline.pipeline_timesteps(num_frames)
     with h5py.File(mat_path, "r") as mat:
+        # root group name is whatever MATLAB wrote, not necessarily "data"
+        # (same as data/crc.read_clip)
+        root = list(mat.values())[0]
         users = []
-        for name in sorted(mat["data"].keys()):
-            user = mat["data"][name]
+        for name in root.keys():
+            user = root[name]
             if key not in user:
-                raise ValueError(
-                    f"{mat_path}: user {name} lacks {key} — run "
-                    f"cli/process_gazemap over the corpus first")
+                log.warn("%s: user %s lacks %s — run cli/process_gazemap "
+                         "over the corpus first", mat_path, name, key)
+                continue
+            if "pupilsize" in user and np.isnan(
+                    np.min(np.asarray(user["pupilsize"]))):
+                continue  # tracking dropout user (crc.read_clip parity)
             users.append(np.asarray(user[key], np.float32))
-    n_avail = min(len(u) for u in users)
-    mean = np.mean([u[:n_avail] for u in users], axis=0)
+    if not users:
+        raise ValueError(f"{mat_path}: no usable users with {key}")
+    # gazelen heuristic + per-user [15::5] subsample BEFORE averaging,
+    # exactly like data/crc.read_clip (crc_input_data_seq.py:261-280)
+    if len(users) >= 2:
+        gazelen = max(len(users[0]), len(users[1])) - 10
+    else:
+        gazelen = len(users[0]) - 10
+    subs = [u[FRAME_OFFSET:gazelen:FRAME_STRIDE]
+            for u in users if len(u) > gazelen - 1]
+    if not subs:
+        raise ValueError(f"{mat_path}: no gaze record of length >= {gazelen}")
+    mean = np.mean(np.asarray(subs, dtype=np.float32), axis=0)
+    # records store (W, H); training targets are (H, W)
+    # (crc_input_data_seq.py:280 via data/crc.read_clip)
+    mean = np.swapaxes(mean, 1, 2).copy()
     if len(mean) and mean.reshape(len(mean), -1).sum(axis=1).min() == 0:
         mean = fill_missing_frames(mean)
     apply_gaussian_filter(mean, sigma)
-    sub = mean[FRAME_OFFSET::FRAME_STRIDE][:t]
+    sub = mean[:t]
     if len(sub) < t:  # video padded past the gaze record: repeat last map
         pad = np.repeat(sub[-1:] if len(sub) else
                         np.full((1, gh, gw), 1.0 / (gh * gw), np.float32),
@@ -378,66 +398,76 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
         except ValueError:  # non-main thread
             pass
 
-    gaze_params, opt_state, c3d_params = (state.gaze_params,
-                                          state.opt_state, state.c3d_params)
-    if mesh is not None and not finetune_c3d:
-        # place the frozen tower on the mesh ONCE: it is never a jit
-        # output, so without this every step would re-broadcast ~80 MB
-        # of replicated C3D weights through the jit's in_shardings
-        from ..parallel import replicate
+    if valid_data is not None and len(valid_data) < batch_size:
+        log.warn(
+            "validation set has %d clips < batch_size %d: validation will "
+            "never run (lower --batch_size or hold out more clips)",
+            len(valid_data), batch_size)
 
-        c3d_params = replicate(c3d_params, mesh)
-    step = int(state.step)
-    n_train = max(len(train_data), 1)
-    last_logged_step, t_logged = step, time.time()
-    while step < sched_cfg.max_steps and not stop_requested["flag"]:
-        batch = _device_batch(train_data.next_batch(batch_size), mesh)
-        # key is a pure function of (seed, step) — like
-        # `train/state.make_train_step`'s fold_in(rng, state.step) — so a
-        # resumed run at step N draws the same flip/dropout randomness the
-        # uninterrupted run would have, not a replay of steps 1..N's keys
-        k_step = jax.random.fold_in(rng, step)
-        gaze_params, opt_state, c3d_params, metrics = train_step(
-            gaze_params, opt_state, c3d_params, batch, k_step)
-        step += 1
+    try:
+        gaze_params, opt_state, c3d_params = (state.gaze_params,
+                                              state.opt_state, state.c3d_params)
+        if mesh is not None and not finetune_c3d:
+            # place the frozen tower on the mesh ONCE: it is never a jit
+            # output, so without this every step would re-broadcast ~80 MB
+            # of replicated C3D weights through the jit's in_shardings
+            from ..parallel import replicate
 
-        if step % sched_cfg.steps_per_logprint == 0:
-            loss = float(metrics["loss"])  # device sync happens HERE
-            t1 = time.time()
-            sec_per_batch = (t1 - t_logged) / max(step - last_logged_step, 1)
-            last_logged_step, t_logged = step, t1
-            lr = float(lr_schedule(step))
-            log.info(
-                " [fused epoch %.1f / step %4d] %s loss: %.5f "
-                "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
-                step * batch_size / n_train, step,
-                (exp.train_tag + " |" if exp.train_tag else ""),
-                loss, sec_per_batch,
-                batch_size / max(sec_per_batch, 1e-9), lr)
-            if metric_writer:
-                metric_writer(step, {"loss/train": loss,
-                                     "learning_rate": lr})
+            c3d_params = replicate(c3d_params, mesh)
+        step = int(state.step)
+        n_train = max(len(train_data), 1)
+        last_logged_step, t_logged = step, time.time()
+        while step < sched_cfg.max_steps and not stop_requested["flag"]:
+            batch = _device_batch(train_data.next_batch(batch_size), mesh)
+            # key is a pure function of (seed, step) — like
+            # `train/state.make_train_step`'s fold_in(rng, state.step) — so a
+            # resumed run at step N draws the same flip/dropout randomness the
+            # uninterrupted run would have, not a replay of steps 1..N's keys
+            k_step = jax.random.fold_in(rng, step)
+            gaze_params, opt_state, c3d_params, metrics = train_step(
+                gaze_params, opt_state, c3d_params, batch, k_step)
+            step += 1
 
-        if ckpt is not None and step % sched_cfg.steps_per_checkpoint == 0:
-            state = FusedTrainState(gaze_params, opt_state, c3d_params,
-                                    jnp.asarray(step, jnp.int32))
-            ckpt.save(state)
+            if step % sched_cfg.steps_per_logprint == 0:
+                loss = float(metrics["loss"])  # device sync happens HERE
+                t1 = time.time()
+                sec_per_batch = (t1 - t_logged) / max(step - last_logged_step, 1)
+                last_logged_step, t_logged = step, t1
+                lr = float(lr_schedule(step))
+                log.info(
+                    " [fused epoch %.1f / step %4d] %s loss: %.5f "
+                    "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
+                    step * batch_size / n_train, step,
+                    (exp.train_tag + " |" if exp.train_tag else ""),
+                    loss, sec_per_batch,
+                    batch_size / max(sec_per_batch, 1e-9), lr)
+                if metric_writer:
+                    metric_writer(step, {"loss/train": loss,
+                                         "learning_rate": lr})
 
-        if valid_data is not None and len(valid_data) >= batch_size \
-                and step % sched_cfg.steps_per_validation == 0:
-            vbatch = _device_batch(valid_data.next_batch(batch_size),
-                                   mesh)
-            vloss = float(eval_step(gaze_params, c3d_params,
-                                    vbatch)["loss"])
-            log.infov(" [val   step %4d] fused loss: %.5f", step, vloss)
-            if metric_writer:
-                metric_writer(step, {"loss/val": vloss})
+            if ckpt is not None and step % sched_cfg.steps_per_checkpoint == 0:
+                state = FusedTrainState(gaze_params, opt_state, c3d_params,
+                                        jnp.asarray(step, jnp.int32))
+                ckpt.save(state)
 
-    state = FusedTrainState(gaze_params, opt_state, c3d_params,
-                            jnp.asarray(step, jnp.int32))
-    if ckpt is not None:
-        ckpt.save(state, wait=True)
-        ckpt.close()
-    for sig, handler in prev_handlers.items():
-        signal.signal(sig, handler)
+            if valid_data is not None and len(valid_data) >= batch_size \
+                    and step % sched_cfg.steps_per_validation == 0:
+                vbatch = _device_batch(valid_data.next_batch(batch_size),
+                                       mesh)
+                vloss = float(eval_step(gaze_params, c3d_params,
+                                        vbatch)["loss"])
+                log.infov(" [val   step %4d] fused loss: %.5f", step, vloss)
+                if metric_writer:
+                    metric_writer(step, {"loss/val": vloss})
+
+        state = FusedTrainState(gaze_params, opt_state, c3d_params,
+                                jnp.asarray(step, jnp.int32))
+        if ckpt is not None:
+            ckpt.save(state, wait=True)
+            ckpt.close()
+    finally:
+        # restore on every exit path: a leaked handler leaves the
+        # process uninterruptible after a failed run
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
     return state

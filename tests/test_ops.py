@@ -182,39 +182,3 @@ def test_kl_divergence_zero_for_identical():
     np.testing.assert_allclose(kl, 0.0, atol=1e-6)
 
 
-def test_conv2d_transpose_subpixel_matches_conv_transpose():
-    """Phase-decomposed deconv (one dense conv + depth-to-space) must equal
-    conv2d_transpose(padding='VALID') exactly up to fp32 reassociation —
-    incl. the GRCN decoder shapes 7->23 (k5 s3) and 23->49 (k5 s2)."""
-    from recurrent_gaze_prediction_tpu.ops.layers import (
-        conv2d_transpose,
-        conv2d_transpose_subpixel,
-    )
-
-    rng = np.random.RandomState(0)
-    for (h, cin, cout, k, s) in [(7, 128, 64, 5, 3), (23, 64, 32, 5, 2),
-                                 (4, 2, 6, 3, 2), (5, 3, 4, 4, 2),
-                                 (6, 4, 2, 7, 3)]:
-        x = jnp.asarray(rng.randn(2, h, h, cin).astype(np.float32))
-        w = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32))
-        want = np.asarray(conv2d_transpose(x, w, stride=s, padding="VALID"))
-        got = np.asarray(conv2d_transpose_subpixel(x, w, stride=s))
-        assert got.shape == want.shape == (2, (h - 1) * s + k,
-                                           (h - 1) * s + k, cout)
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
-
-    # gradients agree too (the backward is the point of the rewrite)
-    x = jnp.asarray(rng.randn(2, 7, 7, 8).astype(np.float32))
-    w = jnp.asarray(rng.randn(5, 5, 8, 4).astype(np.float32))
-
-    def loss_a(w, x):
-        return (conv2d_transpose(x, w, stride=3, padding="VALID") ** 2).sum()
-
-    def loss_b(w, x):
-        return (conv2d_transpose_subpixel(x, w, stride=3) ** 2).sum()
-
-    ga = jax.grad(loss_a, argnums=(0, 1))(w, x)
-    gb = jax.grad(loss_b, argnums=(0, 1))(w, x)
-    for a, b in zip(ga, gb):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-5, atol=1e-4)

@@ -317,3 +317,63 @@ def test_fit_fused_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
             err_msg=f"gaze_params{jax.tree_util.keystr(path)}")
+
+
+def test_gaze_targets_match_crc_loader_protocol(tmp_path):
+    """_gaze_targets_for_clip must produce the SAME maps as the CRC
+    loader for the same .mat record — root group name agnostic, NaN-pupil
+    users excluded, gazelen-10 truncation, per-user [15::5] subsample,
+    and the (W,H)->(H,W) swap (round-3 review: the fused loader trained
+    on TRANSPOSED targets)."""
+    import h5py
+
+    from recurrent_gaze_prediction_tpu.data.gazemap import (
+        apply_gaussian_filter,
+        gazemap_key_and_sigma,
+    )
+
+    rng = np.random.RandomState(7)
+    n_rec = 64
+    # asymmetric one-hot records in the on-disk (T, W, H) convention:
+    # a fixation at column c_x=40, row r_y=5 is stored as maps[t, 40, 5]
+    rec_a = np.zeros((n_rec, 49, 49), np.float32)
+    rec_a[np.arange(n_rec), 40, 5] = 1.0
+    rec_b = np.zeros((n_rec, 49, 49), np.float32)
+    rec_b[np.arange(n_rec), 10, 30] = 1.0
+    nan_rec = np.zeros((n_rec, 49, 49), np.float32)
+    nan_rec[:, 0, 0] = 1.0
+
+    mat_path = tmp_path / "clip.mat"
+    with h5py.File(mat_path, "w") as mat:
+        grp = mat.create_group("whatever_matlab_named_it")  # not "data"
+        u0 = grp.create_group("user00")
+        u0["gazemap49x49"] = rec_a
+        u0["pupilsize"] = np.ones(n_rec, np.float32)
+        u1 = grp.create_group("user01")
+        u1["gazemap49x49"] = rec_b
+        u1["pupilsize"] = np.ones(n_rec, np.float32)
+        u2 = grp.create_group("user02")  # NaN pupil: must be excluded
+        u2["gazemap49x49"] = nan_rec
+        u2["pupilsize"] = np.full(n_rec, np.nan, np.float32)
+
+    num_frames = 160  # T = min(160//16, ceil(145/5)) = 10
+    t = pipeline.pipeline_timesteps(num_frames)
+    got = fused._gaze_targets_for_clip(str(mat_path), num_frames, (49, 49))
+
+    # reference protocol by hand (crc_input_data_seq.py:261-295)
+    gazelen = max(len(rec_a), len(rec_b)) - 10
+    subs = [r[15:gazelen:5] for r in (rec_a, rec_b)]
+    mean = np.mean(subs, axis=0)
+    mean = np.swapaxes(mean, 1, 2).copy()  # (W,H) -> (H,W)
+    _, sigma = gazemap_key_and_sigma(49, 49)
+    apply_gaussian_filter(mean, sigma)
+    want = mean[:t]
+    if len(want) < t:
+        want = np.concatenate(
+            [want, np.repeat(want[-1:], t - len(want), axis=0)])
+    np.testing.assert_allclose(got, want.astype(np.float32) + 1e-6,
+                               rtol=1e-6, atol=1e-6)
+
+    # orientation pin: fixation (x=40, y=5) must land at [row 5, col 40]
+    hot = np.unravel_index(np.argmax(got[0]), got[0].shape)
+    assert abs(hot[0] - 5) <= 1 and abs(hot[1] - 40) <= 1
