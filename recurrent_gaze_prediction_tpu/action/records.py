@@ -66,12 +66,18 @@ def iter_record_batches(paths: Sequence[str], batch_size: int,
         for k in FIELDS:
             buffers[k].append(shard[k][order])
         total = sum(len(b) for b in buffers["c3d"])
-        while total >= batch_size:
+        if total >= batch_size:
+            # concatenate the carried tail with this shard ONCE and slice
+            # by offset — re-concatenating the whole residue per yielded
+            # batch was O(N^2/B) copying over a shard
             stacked = {k: np.concatenate(buffers[k]) for k in FIELDS}
-            yield {k: stacked[k][:batch_size] for k in FIELDS}
+            offset = 0
+            while total - offset >= batch_size:
+                yield {k: stacked[k][offset:offset + batch_size]
+                       for k in FIELDS}
+                offset += batch_size
             for k in FIELDS:
-                buffers[k] = [stacked[k][batch_size:]]
-            total -= batch_size
+                buffers[k] = [stacked[k][offset:]]
     if not drop_remainder and sum(len(b) for b in buffers["c3d"]):
         yield {k: np.concatenate(buffers[k]) for k in FIELDS}
 

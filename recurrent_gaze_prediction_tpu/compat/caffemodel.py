@@ -108,8 +108,17 @@ def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
         elif field in (5, 6) and wire == 2:
             # packed float data: field 6 (C3D/V1) or field 5 (modern).
             # A wire-2 field 5 cannot be the `width` varint, so there is
-            # no clash with the 5-D dims.
-            data = np.frombuffer(bytes(value), dtype="<f4")
+            # no clash with the 5-D dims. The proto wire format allows a
+            # packed repeated field to be SPLIT across several chunks
+            # (streamed/merged messages) — concatenate instead of
+            # overwriting earlier chunks.
+            chunk = np.frombuffer(bytes(value), dtype="<f4")
+            if isinstance(data, np.ndarray):
+                data = np.concatenate([data, chunk])
+            elif isinstance(data, list):
+                data.extend(chunk.tolist())
+            else:
+                data = chunk
         elif field in (5, 6) and wire == 5:        # unpacked float entry
             # accumulate in a list: np.append per element is O(n^2) and
             # takes hours on conv5b/fc-scale blobs

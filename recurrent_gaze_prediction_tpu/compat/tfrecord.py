@@ -62,7 +62,15 @@ def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             if verify_crc and _masked_crc(header[:8]) != crc_len:
                 raise IOError("corrupt TFRecord length crc")
             payload = f.read(length)
-            crc_data = struct.unpack("<I", f.read(4))[0]
+            crc_bytes = f.read(4)
+            if len(payload) < length or len(crc_bytes) < 4:
+                # truncated file (interrupted copy): without this check a
+                # short read either raised a bare struct.error or, with
+                # verify_crc=False, yielded a short corrupt payload
+                raise IOError(
+                    f"truncated TFRecord: expected {length}+4 payload "
+                    f"bytes, got {len(payload)}+{len(crc_bytes)}")
+            crc_data = struct.unpack("<I", crc_bytes)[0]
             if verify_crc and _masked_crc(payload) != crc_data:
                 raise IOError("corrupt TFRecord payload crc")
             yield payload

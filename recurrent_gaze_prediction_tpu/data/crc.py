@@ -33,6 +33,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..utils import log, mkdir_p
+from . import codec
 from .datasets import ClipDataset, DataSplits
 from .gazemap import apply_gaussian_filter, gazemap_key_and_sigma
 from .seq import FRAME_OFFSET, FRAME_STRIDE, SEQ_LEN, seq2batch
@@ -83,7 +84,6 @@ def read_clip(layout: DatasetLayout, clip: str, image_height: int,
               fixation_original_scale: bool = False) -> Optional[dict]:
     """Load one clip folder -> dict of aligned per-frame streams."""
     import h5py
-    import pickle
     from PIL import Image
 
     frame_folder = layout.frame_folder(clip)
@@ -180,11 +180,11 @@ def read_clip(layout: DatasetLayout, clip: str, image_height: int,
                 fixationmaps = np.sum(np.asarray(fix_list), axis=0)
                 fixationmaps = np.swapaxes(fixationmaps, 1, 2)
 
-    with open(layout.c3d_file(clip), "rb") as f:
-        c3d = pickle.load(f, encoding="latin1")
-    c3d = np.squeeze(np.asarray(c3d, dtype=np.float32))
-    assert c3d.shape[-2:] == (7, 7), c3d.shape
-    c3d = c3d.reshape(len(c3d), -1, 7, 7)  # fold (512, 2) -> 1024
+    # codec.load_c3d_for_model squeezes only INNER singleton dims — a bare
+    # np.squeeze would drop the window axis of a single-window clip
+    # ([1,1,512,2,7,7] -> [512,2,7,7]) and return channel dim 2, crashing
+    # the whole split load at np.stack time
+    c3d = codec.load_c3d_for_model(layout.c3d_file(clip)).astype(np.float32)
 
     n = min(len(images), len(gazemaps), len(fixationmaps), len(c3d),
             len(pupils))

@@ -75,14 +75,24 @@ class ClipDataset:
 
     def iter_batches(self, batch_size: int,
                      max_instances: Optional[int] = None) -> Iterator[dict]:
-        """One pass over (up to max_instances of) the dataset
-        (reference `generate`, `models/gaze_rnn.py:583-591`)."""
+        """One deterministic pass over (up to max_instances of) the dataset
+        (reference `generate`, `models/gaze_rnn.py:583-591`).
+
+        Unlike the reference, this does NOT ride `next_batch`'s persistent
+        wrap-around cursor: that re-yielded the head batch and silently
+        dropped the tail whenever n % batch_size != 0 — corrupting
+        `cli/create_records` shards (duplicated head frames, missing tail)
+        and double-counting frames in every evaluation mean. Each window is
+        yielded exactly once; the final batch may be short (one extra jit
+        compile for the tail shape on offline surfaces)."""
         n = len(self)
         if max_instances is not None:
             n = min(n, max_instances)
-        steps = int(np.ceil(n / batch_size))
-        for _ in range(steps):
-            yield self.next_batch(batch_size)
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            batch = {key: getattr(self, key)[start:end] for key in BATCH_KEYS}
+            batch["clipnames"] = self.clipnames[start:end]
+            yield batch
 
 
 @dataclasses.dataclass

@@ -51,6 +51,21 @@ def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
 
+    def put_or_abandon(item) -> bool:
+        """Blocking put that gives up once the consumer has left.
+
+        A bare q.put can block FOREVER when the consumer abandons the
+        generator early (break mid-sweep): the final sentinel put then
+        pins this thread plus a device-resident batch for the life of
+        the process. Poll `stop` instead of blocking indefinitely."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         produced = 0
         try:
@@ -58,12 +73,14 @@ def prefetch_batches(dataset: ClipDataset, batch_size: int, *,
                 if max_batches is not None and produced >= max_batches:
                     break
                 batch = dataset.next_batch(batch_size)
-                q.put(device_put_batch(batch, sharding, cast=cast))
+                if not put_or_abandon(
+                        device_put_batch(batch, sharding, cast=cast)):
+                    return
                 produced += 1
-            q.put(None)
+            put_or_abandon(None)
         except BaseException as exc:  # surface in the consumer; a dead
             # worker with no sentinel would leave q.get() blocked forever
-            q.put(exc)
+            put_or_abandon(exc)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()

@@ -301,4 +301,11 @@ def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
         saliency_score_single(metric, p, g, f, other_union, rng=rng)
         for p, g, f in zip(pred_maps, gt_maps, fixation_maps)
     ]
-    return float(np.mean(scores))
+    # nanmean, NOT the reference's np.mean (`evaluation_metrics.py:295`):
+    # the per-frame metrics deliberately return NaN for frames with no
+    # fixations (AUC*/NSS), and sparse original-scale evals routinely
+    # contain such frames — a plain mean lets ONE empty frame poison the
+    # whole score, and the on-device protocol (`eval/metrics_jax.py`)
+    # already excludes those frames via nanmean. Divergence recorded in
+    # PARITY.md.
+    return float(np.nanmean(scores))

@@ -703,3 +703,47 @@ def test_tf_golden_flatgru_states_and_grads():
         np.testing.assert_allclose(
             np.asarray(jgrads[k]), tf_grads[k], rtol=1e-5, atol=1e-5,
             err_msg=f"FlatGRU dL/d{k}")
+
+
+def test_tfrecord_truncated_file_raises_ioerror(tmp_path):
+    """A file cut off mid-payload raises the module's own IOError, not a
+    bare struct.error — and verify_crc=False must not yield the short
+    corrupt payload (round-3 review)."""
+    from recurrent_gaze_prediction_tpu.compat import tfrecord
+
+    path = str(tmp_path / "t.tfrecord")
+    tfrecord.write_tfrecords(path, [b"x" * 100, b"y" * 100])
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:len(blob) - 50])  # cut mid-payload
+    records = []
+    with pytest.raises(IOError, match="truncated|corrupt"):
+        for rec in tfrecord.iter_tfrecords(path):
+            records.append(rec)
+    assert records == [b"x" * 100]
+    with pytest.raises(IOError, match="truncated"):
+        list(tfrecord.iter_tfrecords(path, verify_crc=False))
+
+
+def test_caffemodel_blob_data_split_across_chunks():
+    """The proto wire format allows packed repeated data split into
+    several length-delimited chunks; the parser must concatenate them
+    (round-3 review: later chunks overwrote earlier ones)."""
+    from recurrent_gaze_prediction_tpu.compat import caffemodel as cm
+
+    vals = np.arange(24, dtype="<f4")
+    # V1-era blob: dims num=1 ch=2 len=3 h=2 w=2 as varint fields 1..5,
+    # data field 6 split into two packed chunks
+    def varint_field(field, value):
+        return bytes([(field << 3) | 0, value])
+
+    def chunk_field(field, payload):
+        assert len(payload) < 128
+        return bytes([(field << 3) | 2, len(payload)]) + payload
+
+    buf = (varint_field(1, 1) + varint_field(2, 2) + varint_field(3, 3) +
+           varint_field(4, 2) + varint_field(5, 2) +
+           chunk_field(6, vals[:10].tobytes()) +
+           chunk_field(6, vals[10:].tobytes()))
+    arr = cm._parse_blob(memoryview(buf), legacy_4d=False)
+    assert arr.shape == (1, 2, 3, 2, 2)
+    np.testing.assert_array_equal(arr.ravel(), vals)

@@ -289,3 +289,48 @@ def test_cache_key_includes_data_root(fake_root, tmp_path):
         split_modes="train", parallel_jobs=2)
     second = set(os.listdir(cache_dir)) - first
     assert second, "a different data root must produce a different cache key"
+
+
+def test_read_clip_single_window_c3d(tmp_path):
+    """A clip whose .c3d holds ONE window must come back with channel dim
+    1024, not squeezed to [512,2,7,7] (round-3 review: a bare np.squeeze
+    dropped the window axis and crashed the split-level np.stack)."""
+    import pickle as pkl
+
+    root = str(tmp_path / "one")
+    _write_fake_dataset(root, n_clips=1, n_users=2, seed=3)
+    clip = sorted(os.listdir(os.path.join(root, "vid_frm")))[0]
+    one = np.random.RandomState(0).rand(1, 1, 512, 2, 7, 7).astype(
+        np.float32)
+    with open(os.path.join(root, "vid_c3d", clip + ".c3d"), "wb") as f:
+        pkl.dump(one, f, protocol=2)
+    from recurrent_gaze_prediction_tpu.data.crc import read_clip
+    out = read_clip(DatasetLayout(root=root), clip, 98, 98, 49, 49)
+    assert out is not None
+    assert out["c3d"].shape[1:] == (1024, 7, 7)
+    assert len(out["c3d"]) == 1  # truncated to the common min length
+
+
+def test_iter_batches_covers_tail_exactly_once():
+    """n % batch_size != 0: every window must be yielded exactly once —
+    the cursor-wrapping iteration duplicated the head and dropped the
+    tail, corrupting create_records shards (round-3 review)."""
+    from recurrent_gaze_prediction_tpu.data.datasets import ClipDataset
+
+    n = 10
+    ds = ClipDataset(
+        frames=np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1, 1),
+        gazemaps=np.zeros((n, 1, 2, 2), np.float32),
+        fixationmaps=np.zeros((n, 1, 2, 2), np.float32),
+        c3d=np.zeros((n, 1, 4, 7, 7), np.float32),
+        pupils=np.zeros((n, 1), np.float32),
+        clipnames=[f"c{i}" for i in range(n)],
+    )
+    ds.next_batch(4)  # move the persistent cursor: iter must ignore it
+    batches = list(ds.iter_batches(4))
+    assert [len(b["clipnames"]) for b in batches] == [4, 4, 2]
+    seen = np.concatenate([b["frames"].ravel() for b in batches])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(n))
+    # max_instances caps INSTANCES, including a short tail
+    batches = list(ds.iter_batches(4, max_instances=5))
+    assert [len(b["clipnames"]) for b in batches] == [4, 1]

@@ -327,3 +327,24 @@ def test_resize_family_score_delta():
     impulse[0, 0] = 1.0
     up = mnp._resize_skimage_like(impulse, (49, 49))
     assert up[0, 0] == np.max(up)
+
+
+def test_saliency_score_excludes_empty_fixation_frames():
+    """One no-fixation frame must not poison the aggregate (nanmean, like
+    the on-device protocol — round-3 review; the reference's np.mean
+    returns NaN for the whole eval)."""
+    from recurrent_gaze_prediction_tpu.eval import metrics_np
+
+    rng = np.random.RandomState(0)
+    n = 12
+    preds = [rng.rand(20, 20) for _ in range(n)]
+    gts = [rng.rand(20, 20) for _ in range(n)]
+    fixs = []
+    for i in range(n):
+        f = np.zeros((20, 20), np.float64)
+        if i != 3:  # frame 3 has NO fixations
+            f[rng.randint(0, 20, 5), rng.randint(0, 20, 5)] = 1
+        fixs.append(f)
+    score = metrics_np.saliency_score("AUC_Borji", preds, gts, fixs,
+                                      rng=np.random.RandomState(1))
+    assert np.isfinite(score)

@@ -195,3 +195,25 @@ def test_create_model_explicit_default_wins():
     exp.apply_overrides({"model.batch_size": "7"})  # 7 == dataclass default
     model3 = create_model("gaze_framewise_shallownet", exp.model)
     assert model3.cfg.batch_size == 7  # model default is 5
+
+
+def test_prefetch_abandoned_consumer_releases_worker():
+    """Breaking out of prefetch_batches early (buffer_size=1) must let the
+    worker thread exit — a bare q.put would block forever on the final
+    sentinel, pinning the thread plus a device batch (round-3 review)."""
+    import threading
+    import time
+
+    data = synthetic.make_clip_windows(6, 3, seed=0)
+    before = {t.ident for t in threading.enumerate()}
+    gen = prefetch_batches(data, 2, buffer_size=1)
+    next(gen)
+    gen.close()  # abandon: runs the generator's finally (stop + drain)
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
