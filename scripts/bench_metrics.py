@@ -1,0 +1,137 @@
+"""Measure evaluation-metric throughput: on-device batched vs NumPy.
+
+The reference scores saliency metrics per frame in Python with a joblib
+process pool (`/root/reference/models/evaluate_gaze.py:203-232`, 10
+workers by default). Here the same four-metric protocol (sim, cc,
+AUC_shuffled, AUC_Borji — `eval/metrics_jax.py`) runs as one jitted
+program over the whole frame batch, in two modes:
+
+  * exact (default): the sampled AUCs' closed-form expectation — no
+    Monte-Carlo repeats, no random gathers (see `auc_borji_batch`);
+  * sampled: the faithful n_rep=100 Monte-Carlo samplers.
+
+Timing protocol: each iteration uses a distinct fold_in key (inputs are
+never identical across calls) and blocks on the outputs; eager per-item
+array ops are avoided entirely — on this tunneled backend a single
+eager op on a large array costs ~seconds, which is also why
+`evaluate_batch` jits its preamble reductions (BENCHMARKS.md "relay
+wall-clock" note).
+
+Usage:  python scripts/bench_metrics.py [--n 4200] [--np_sample 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_maps(n: int, hw: int, seed: int = 0):
+    """Blurred-noise pred/gt plus sparse binary fixation maps."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(seed)
+    pred = gaussian_filter(rng.rand(n, hw, hw).astype(np.float32),
+                           (0, 3, 3))
+    gt = gaussian_filter(rng.rand(n, hw, hw).astype(np.float32), (0, 3, 3))
+    fix = np.zeros((n, hw, hw), np.float32)
+    for i in range(n):
+        k = rng.randint(4, 14)
+        rr, cc_ = rng.randint(0, hw, k), rng.randint(0, hw, k)
+        fix[i, rr, cc_] = 1.0
+    return pred, gt, fix
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=4200,
+                   help="frames scored on device (reference eval order: "
+                        "~1500 frames/run)")
+    p.add_argument("--np_sample", type=int, default=32,
+                   help="frames timed on the NumPy path (extrapolated)")
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    from recurrent_gaze_prediction_tpu.eval import metrics_jax, metrics_np
+
+    metrics = metrics_jax.AVAILABLE_METRICS
+    pred, gt, fix = synthetic_maps(args.n, 49)
+    jp, jg, jf = jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(fix)
+    key = jax.random.PRNGKey(0)
+
+    import functools
+
+    from jax import lax
+
+    other = metrics_jax.build_other_map_union(jf, jax.random.PRNGKey(7))
+
+    @functools.partial(jax.jit, static_argnames=("iters", "exact"))
+    def bench_loop(pred_, gt_, fix_, other_, key_, iters, exact):
+        """iters chained metric evaluations in ONE dispatch: iteration i's
+        input depends on iteration i-1's mean score, so the loop times the
+        device, not the relay."""
+        def body(carry, i):
+            p = pred_ + 0.0 * carry
+            out = metrics_jax._evaluate_batch_impl(
+                p, gt_, fix_, other_, jax.random.fold_in(key_, i),
+                metrics, 16, 100, None, exact)
+            return out["cc"].mean(), out["AUC_Borji"].mean()
+        carry, aucs = lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
+        return carry, aucs
+
+    results = {}
+    for label, exact in (("exact", True), ("sampled", False)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(bench_loop(jp, jg, jf, other, key,
+                                         1, exact))
+        print(f"[{label}] compile+first eval ({args.n} frames, "
+              f"{len(metrics)} metrics): {time.perf_counter() - t0:.1f}s")
+        n_it = args.iters * 10 if exact else args.iters
+        t0 = time.perf_counter()
+        carry, aucs = jax.block_until_ready(
+            bench_loop(jp, jg, jf, other, key, n_it, exact))
+        wall = time.perf_counter() - t0
+        # the single-dispatch overhead is measured by the 1-iteration call
+        t1 = time.perf_counter()
+        jax.block_until_ready(bench_loop(jp, jg, jf, other, key, 1, exact))
+        one = time.perf_counter() - t1
+        dev_s = max((wall - one) / max(n_it - 1, 1), 1e-9)
+        results[label] = args.n / dev_s
+        print(f"[{label}] on-device (chained, {n_it} iters): "
+              f"{dev_s * 1e3:.2f} ms per {args.n}-frame eval -> "
+              f"{results[label]:,.0f} frames/s "
+              f"(borji mean {float(aucs[-1]):.4f})")
+
+    # NumPy protocol on a subsample, same metric set at gazemap scale
+    m = args.np_sample
+    other = metrics_np.build_other_map_union(fix)
+    t0 = time.perf_counter()
+    for i in range(m):
+        for metric in metrics:
+            metrics_np.saliency_score_single(
+                metric, pred[i], gt[i], fix[i], other_map_union=other)
+    np_per_frame = (time.perf_counter() - t0) / m
+    np_fps = 1.0 / np_per_frame
+    print(f"numpy single-process: {np_per_frame * 1e3:.1f} ms/frame "
+          f"-> {np_fps:,.1f} frames/s; ideal 10-worker pool "
+          f"(reference -j default): {np_fps * 10:,.1f} frames/s")
+    for label, fps in results.items():
+        print(f"[{label}] speedup vs single-process numpy: "
+              f"{fps / np_fps:,.0f}x; vs ideal 10-worker pool: "
+              f"{fps / (np_fps * 10):,.0f}x")
+
+
+if __name__ == "__main__":
+    main()

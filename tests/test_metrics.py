@@ -348,3 +348,50 @@ def test_saliency_score_excludes_empty_fixation_frames():
     score = metrics_np.saliency_score("AUC_Borji", preds, gts, fixs,
                                       rng=np.random.RandomState(1))
     assert np.isfinite(score)
+
+
+def test_auc_exact_is_sampler_expectation():
+    """exact=True equals the mean of the Monte-Carlo sampler: the trapezoid
+    area is linear in fp, so E[area] = area(E[fp]). With many repeats the
+    sampled per-frame values concentrate on the exact ones."""
+    pred, _, fix = _random_frames(n=10, seed=11, n_fix_range=(8, 16))
+    other = (fix[:8] > 0).sum(0)
+    jp, jf, jo = jnp.array(pred), jnp.array(fix), jnp.array(other)
+
+    exact_b = np.asarray(mj.auc_borji_batch(jp, jf, jax.random.PRNGKey(0)))
+    sampled_b = np.stack([
+        np.asarray(mj.auc_borji_batch(jp, jf, jax.random.PRNGKey(k),
+                                      n_rep=128, exact=False))
+        for k in range(4)
+    ]).mean(0)
+    np.testing.assert_allclose(exact_b, sampled_b, atol=0.02)
+
+    exact_s = np.asarray(mj.auc_shuffled_batch(jp, jf, jo,
+                                               jax.random.PRNGKey(0)))
+    sampled_s = np.stack([
+        np.asarray(mj.auc_shuffled_batch(jp, jf, jo, jax.random.PRNGKey(k),
+                                         n_rep=128, exact=False))
+        for k in range(4)
+    ]).mean(0)
+    np.testing.assert_allclose(exact_s, sampled_s, atol=0.03)
+
+    # exact mode is deterministic: the key must not matter
+    again = np.asarray(mj.auc_borji_batch(jp, jf, jax.random.PRNGKey(9)))
+    np.testing.assert_array_equal(exact_b, again)
+
+
+def test_auc_exact_through_evaluate_batch_chunked():
+    """evaluate_batch(exact=True) skips the capacity sync and still matches
+    the per-metric entry points across the chunked path."""
+    pred, gt, fix = _random_frames(n=23, seed=12, n_fix_range=(8, 16))
+    jp, jg, jf = jnp.array(pred), jnp.array(gt), jnp.array(fix)
+    key = jax.random.PRNGKey(5)
+    whole = mj.evaluate_batch(jp, jg, jf, key,
+                              metrics=("AUC_Borji", "AUC_shuffled"))
+    chunked = mj.evaluate_batch(jp, jg, jf, key,
+                                metrics=("AUC_Borji", "AUC_shuffled"),
+                                chunk_size=8)
+    # Borji's exact path is key-independent -> chunking must be a no-op
+    np.testing.assert_allclose(np.asarray(whole["AUC_Borji"]),
+                               np.asarray(chunked["AUC_Borji"]), atol=1e-6)
+    assert np.isfinite(np.asarray(chunked["AUC_shuffled"])).all()
