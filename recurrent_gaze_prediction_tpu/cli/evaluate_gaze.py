@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_false",
                         help="use the per-frame NumPy protocol with "
                              "original-scale resize")
+    parser.add_argument("--sampled_auc", dest="exact", action="store_false",
+                        default=True,
+                        help="score AUC_Borji/AUC_shuffled with the "
+                             "reference's n_rep=100 Monte-Carlo samplers "
+                             "instead of their closed-form expectation "
+                             "(on-device path only; slower, adds sampling "
+                             "noise — for strict replication studies)")
     parser.add_argument("--metrics", nargs="*",
                         default=list(evaluator.AVAILABLE_METRICS))
     return parser
@@ -96,7 +103,7 @@ def main(argv: Optional[list[str]] = None) -> int:
                              input_cast=input_cast)
     scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
                                 ret["fixationmaps"], metrics=args.metrics,
-                                on_device=args.on_device)
+                                on_device=args.on_device, exact=args.exact)
 
     out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
     mkdir_p(out_dir)
@@ -113,7 +120,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             jax.numpy.asarray(ret["pred_gazemaps"]),
             jax.numpy.asarray(ret["gt_gazemaps"]),
             jax.numpy.asarray(ret["fixationmaps"]),
-            jax.random.PRNGKey(0), metrics=tuple(args.metrics))
+            jax.random.PRNGKey(0), metrics=tuple(args.metrics),
+            exact=args.exact)
 
         def frame_score(metric, i):
             return float(per_frame[metric][i])

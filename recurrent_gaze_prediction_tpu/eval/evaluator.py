@@ -72,10 +72,15 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
              fixationmaps: np.ndarray,
              metrics: Sequence[str] = AVAILABLE_METRICS,
              key: Optional[jax.Array] = None,
-             on_device: bool = True, n_rep: int = 100) -> dict:
+             on_device: bool = True, n_rep: int = 100,
+             exact: bool = True) -> dict:
     """Mean per-frame scores. `on_device=True` runs the batched TPU metrics
     at map scale; `on_device=False` runs the NumPy protocol (including
-    original-scale resize when fixation maps are larger)."""
+    original-scale resize when fixation maps are larger). `exact` selects
+    the closed-form AUC_Borji/AUC_shuffled expectation (default) vs the
+    reference's Monte-Carlo samplers (see `metrics_jax.auc_borji_batch`);
+    it only affects the on-device path — the NumPy protocol always
+    samples, like the reference."""
     ragged = (fixationmaps.dtype == np.dtype(object)
               if isinstance(fixationmaps, np.ndarray)
               else len({np.shape(f) for f in fixationmaps}) > 1)
@@ -91,7 +96,7 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
             jax.numpy.asarray(pred_gazemaps),
             jax.numpy.asarray(gt_gazemaps),
             jax.numpy.asarray(fixationmaps),
-            key, metrics=tuple(metrics), n_rep=n_rep)
+            key, metrics=tuple(metrics), n_rep=n_rep, exact=exact)
         out = {m: float(np.nanmean(np.asarray(v))) for m, v in scores.items()}
     else:
         rng = np.random.RandomState(0)

@@ -395,3 +395,21 @@ def test_auc_exact_through_evaluate_batch_chunked():
     np.testing.assert_allclose(np.asarray(whole["AUC_Borji"]),
                                np.asarray(chunked["AUC_Borji"]), atol=1e-6)
     assert np.isfinite(np.asarray(chunked["AUC_shuffled"])).all()
+
+
+def test_evaluator_and_cli_expose_sampled_auc():
+    """`exact` plumbs through evaluator.evaluate and the CLI flag
+    (--sampled_auc) selects the faithful Monte-Carlo samplers."""
+    from recurrent_gaze_prediction_tpu.cli import evaluate_gaze as eg
+    from recurrent_gaze_prediction_tpu.eval import evaluator
+
+    args = eg.build_parser().parse_args(["--train_dir", "x"])
+    assert args.exact is True
+    args = eg.build_parser().parse_args(["--train_dir", "x",
+                                         "--sampled_auc"])
+    assert args.exact is False
+
+    pred, gt, fix = _random_frames(n=6, seed=13, n_fix_range=(8, 16))
+    out = evaluator.evaluate(pred, gt, fix, metrics=("AUC_Borji",),
+                             exact=False, n_rep=16)
+    assert np.isfinite(out["AUC_Borji"])
