@@ -203,6 +203,68 @@ def bench_train_step(b: int = 16, t: int = 42):
     return step_ms, util
 
 
+def bench_metric_eval(n: int = 4200, iters: int = 2000):
+    """On-device saliency-metric evaluation (sim/cc/AUC_shuffled/AUC_Borji,
+    exact closed-form AUCs): frames/sec scored. Replaces the reference's
+    10-worker joblib pool (`models/evaluate_gaze.py:203-232`). All iters
+    run as one lax.scan program with EVERY input perturbed by the carried
+    scalar (nothing is loop-invariant, so XLA cannot hoist any stage), so
+    the measurement is device time, not relay round-trips. iters must be
+    large: one exact eval is ~0.2 ms, far below dispatch noise."""
+    import functools
+
+    import numpy as np
+
+    from jax import lax
+
+    from recurrent_gaze_prediction_tpu.eval import metrics_jax
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
+    gt = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
+    fix = jnp.asarray(
+        (rng.rand(n, 49, 49) < 0.004).astype(np.float32))
+    other = metrics_jax.build_other_map_union(fix, jax.random.PRNGKey(7))
+    metrics = metrics_jax.AVAILABLE_METRICS
+
+    @functools.partial(jax.jit, static_argnames=("n_it",))
+    def loop(p_, g_, f_, o_, key_, n_it):
+        def body(carry, i):
+            # 1e-18*carry (NOT 0.0*carry): a x0.0 multiply is algebraically
+            # simplified away and the hoist-proof dependency vanishes. The
+            # perturbation is below fp32 resolution next to O(1) pixels, so
+            # values are bit-identical — but XLA cannot prove that, so no
+            # stage of any metric is loop-invariant.
+            eps = 1e-18 * carry
+            out = metrics_jax._evaluate_batch_impl(
+                p_ + eps, g_ + eps, f_ + eps, o_ + eps,
+                jax.random.fold_in(key_, i), metrics, 16, 100, None, True)
+            # consume EVERY metric: an unconsumed output is dead code and
+            # XLA deletes that metric's whole computation from the loop
+            return sum(v.mean() for v in out.values()), ()
+        carry, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n_it))
+        return carry
+
+    key = jax.random.PRNGKey(0)
+
+    def timed(n_it):
+        # warm first: n_it is static, so each chain length is its own
+        # executable and the first call compiles/deserializes; then take
+        # the min of 3 — single-call dispatch noise through the relay
+        # (10-500 ms) dwarfs the ~0.2 ms/eval device time
+        float(loop(pred, gt, fix, other, key, n_it))
+        walls = []
+        for _ in range(3):
+            start = time.perf_counter()
+            float(loop(pred, gt, fix, other, key, n_it))
+            walls.append(time.perf_counter() - start)
+        return min(walls)
+
+    lo = max(iters // 10, 1)
+    dev_s = max((timed(iters) - timed(lo)) / (iters - lo), 1e-9)
+    return n / dev_s
+
+
 def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
     try:
@@ -221,6 +283,12 @@ def main() -> None:
         print(f"# fused-train bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         fused_train_fps = None
+    try:
+        eval_fps = bench_metric_eval()
+    except Exception as e:
+        print(f"# metric-eval bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        eval_fps = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -235,6 +303,8 @@ def main() -> None:
         "train_frames_per_sec_b56": round(56 * 42 / (train56_ms / 1e3), 0),
         "fused_train_raw_frames_per_sec": (
             round(fused_train_fps, 1) if fused_train_fps else None),
+        "metric_eval_frames_per_sec": (
+            round(eval_fps, 0) if eval_fps else None),
         "device": jax.devices()[0].device_kind,
     }))
 

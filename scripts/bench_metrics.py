@@ -83,35 +83,58 @@ def main() -> None:
         input depends on iteration i-1's mean score, so the loop times the
         device, not the relay."""
         def body(carry, i):
-            p = pred_ + 0.0 * carry
+            # 1e-18 (NOT 0.0): x0.0 is simplified away and exact mode
+            # ignores the key, so the body would be loop-invariant and XLA
+            # would hoist the whole metric program out of the scan. EVERY
+            # input gets the perturbation so no stage (gt normalization,
+            # fixation counts, other-map stats) can be hoisted either; the
+            # delta is below fp32 resolution, so values are bit-identical.
+            eps = 1e-18 * carry
             out = metrics_jax._evaluate_batch_impl(
-                p, gt_, fix_, other_, jax.random.fold_in(key_, i),
+                pred_ + eps, gt_ + eps, fix_ + eps, other_ + eps,
+                jax.random.fold_in(key_, i),
                 metrics, 16, 100, None, exact)
-            return out["cc"].mean(), out["AUC_Borji"].mean()
+            # fold EVERY metric into the carry: an unconsumed output is
+            # dead code and XLA deletes that metric's whole computation
+            return (sum(v.mean() for v in out.values()),
+                    out["AUC_Borji"].mean())
         carry, aucs = lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
         return carry, aucs
+
+    def timed(n_it, exact):
+        """min-of-3 wall for the n_it-long chain (warm: n_it is static, so
+        each length is its own executable and the first call compiles).
+        Sync via float() — an explicit device->host transfer of the chain's
+        carry; on the tunneled backend block_until_ready returns without
+        waiting (the verify-skill relay gotcha), silently timing nothing."""
+        out = bench_loop(jp, jg, jf, other, key, n_it, exact)
+        float(out[0])
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = bench_loop(jp, jg, jf, other, key, n_it, exact)
+            float(out[0])
+            walls.append(time.perf_counter() - t0)
+        return min(walls), out
 
     results = {}
     for label, exact in (("exact", True), ("sampled", False)):
         t0 = time.perf_counter()
-        jax.block_until_ready(bench_loop(jp, jg, jf, other, key,
-                                         1, exact))
+        float(bench_loop(jp, jg, jf, other, key, 1, exact)[0])
         print(f"[{label}] compile+first eval ({args.n} frames, "
               f"{len(metrics)} metrics): {time.perf_counter() - t0:.1f}s")
-        n_it = args.iters * 10 if exact else args.iters
-        t0 = time.perf_counter()
-        carry, aucs = jax.block_until_ready(
-            bench_loop(jp, jg, jf, other, key, n_it, exact))
-        wall = time.perf_counter() - t0
-        # the single-dispatch overhead is measured by the 1-iteration call
-        t1 = time.perf_counter()
-        jax.block_until_ready(bench_loop(jp, jg, jf, other, key, 1, exact))
-        one = time.perf_counter() - t1
-        dev_s = max((wall - one) / max(n_it - 1, 1), 1e-9)
+        # one exact eval is ~0.2 ms — far below the 10-500 ms dispatch
+        # noise of a single chained call through the relay, so the device
+        # time is the min-of-3 SLOPE between two chain lengths
+        n_hi = args.iters * 400 if exact else args.iters
+        n_lo = max(n_hi // 10, 1)
+        wall_lo, _ = timed(n_lo, exact)
+        wall_hi, (carry, aucs) = timed(n_hi, exact)
+        dev_s = max((wall_hi - wall_lo) / (n_hi - n_lo), 1e-9)
         results[label] = args.n / dev_s
-        print(f"[{label}] on-device (chained, {n_it} iters): "
-              f"{dev_s * 1e3:.2f} ms per {args.n}-frame eval -> "
-              f"{results[label]:,.0f} frames/s "
+        print(f"[{label}] on-device (chained, {n_lo}->{n_hi} iters, "
+              f"min-of-3 slope): {dev_s * 1e3:.2f} ms per {args.n}-frame "
+              f"eval -> {results[label]:,.0f} frames/s "
               f"(borji mean {float(aucs[-1]):.4f})")
 
     # NumPy protocol on a subsample, same metric set at gazemap scale
