@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                         action="store_false",
                         help="use the per-frame NumPy protocol with "
                              "original-scale resize")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard metric scoring's frame axis over this "
+                             "many devices (exact mode scores identically "
+                             "sharded or local; on-device path only)")
     parser.add_argument("--sampled_auc", dest="exact", action="store_false",
                         default=True,
                         help="score AUC_Borji/AUC_shuffled with the "
@@ -101,9 +105,15 @@ def main(argv: Optional[list[str]] = None) -> int:
     ret = evaluator.generate(predict, state.params, dataset,
                              model.cfg.batch_size, max_instances,
                              input_cast=input_cast)
+    mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel, model_parallel=1)
     scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
                                 ret["fixationmaps"], metrics=args.metrics,
-                                on_device=args.on_device, exact=args.exact)
+                                on_device=args.on_device, exact=args.exact,
+                                mesh=mesh)
 
     out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
     mkdir_p(out_dir)
@@ -116,12 +126,22 @@ def main(argv: Optional[list[str]] = None) -> int:
     # per frame through metrics_np there instead.
     n = len(ret["pred_gazemaps"])
     if args.on_device:
-        per_frame = evaluator.metrics_jax.evaluate_batch(
-            jax.numpy.asarray(ret["pred_gazemaps"]),
-            jax.numpy.asarray(ret["gt_gazemaps"]),
-            jax.numpy.asarray(ret["fixationmaps"]),
-            jax.random.PRNGKey(0), metrics=tuple(args.metrics),
-            exact=args.exact)
+        if mesh is not None:
+            from ..parallel import make_sharded_evaluate
+
+            per_frame = make_sharded_evaluate(
+                mesh, metrics=tuple(args.metrics), exact=args.exact)(
+                    jax.numpy.asarray(ret["pred_gazemaps"]),
+                    jax.numpy.asarray(ret["gt_gazemaps"]),
+                    jax.numpy.asarray(ret["fixationmaps"]),
+                    jax.random.PRNGKey(0))
+        else:
+            per_frame = evaluator.metrics_jax.evaluate_batch(
+                jax.numpy.asarray(ret["pred_gazemaps"]),
+                jax.numpy.asarray(ret["gt_gazemaps"]),
+                jax.numpy.asarray(ret["fixationmaps"]),
+                jax.random.PRNGKey(0), metrics=tuple(args.metrics),
+                exact=args.exact)
 
         def frame_score(metric, i):
             return float(per_frame[metric][i])

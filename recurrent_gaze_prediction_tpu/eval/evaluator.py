@@ -73,14 +73,17 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
              metrics: Sequence[str] = AVAILABLE_METRICS,
              key: Optional[jax.Array] = None,
              on_device: bool = True, n_rep: int = 100,
-             exact: bool = True) -> dict:
+             exact: bool = True, mesh=None) -> dict:
     """Mean per-frame scores. `on_device=True` runs the batched TPU metrics
     at map scale; `on_device=False` runs the NumPy protocol (including
     original-scale resize when fixation maps are larger). `exact` selects
     the closed-form AUC_Borji/AUC_shuffled expectation (default) vs the
     reference's Monte-Carlo samplers (see `metrics_jax.auc_borji_batch`);
     it only affects the on-device path — the NumPy protocol always
-    samples, like the reference."""
+    samples, like the reference. `mesh` (a jax.sharding.Mesh) shards the
+    frame axis over the mesh's "data" axis (`parallel.
+    make_sharded_evaluate`) — exact mode is deterministic, so sharded
+    and local scores are identical."""
     ragged = (fixationmaps.dtype == np.dtype(object)
               if isinstance(fixationmaps, np.ndarray)
               else len({np.shape(f) for f in fixationmaps}) > 1)
@@ -92,11 +95,20 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
         on_device = False
     if on_device:
         key = key if key is not None else jax.random.PRNGKey(0)
-        scores = metrics_jax.evaluate_batch(
-            jax.numpy.asarray(pred_gazemaps),
-            jax.numpy.asarray(gt_gazemaps),
-            jax.numpy.asarray(fixationmaps),
-            key, metrics=tuple(metrics), n_rep=n_rep, exact=exact)
+        if mesh is not None:
+            from ..parallel import make_sharded_evaluate
+
+            sharded = make_sharded_evaluate(mesh, metrics=tuple(metrics),
+                                            n_rep=n_rep, exact=exact)
+            scores = sharded(jax.numpy.asarray(pred_gazemaps),
+                             jax.numpy.asarray(gt_gazemaps),
+                             jax.numpy.asarray(fixationmaps), key)
+        else:
+            scores = metrics_jax.evaluate_batch(
+                jax.numpy.asarray(pred_gazemaps),
+                jax.numpy.asarray(gt_gazemaps),
+                jax.numpy.asarray(fixationmaps),
+                key, metrics=tuple(metrics), n_rep=n_rep, exact=exact)
         out = {m: float(np.nanmean(np.asarray(v))) for m, v in scores.items()}
     else:
         rng = np.random.RandomState(0)

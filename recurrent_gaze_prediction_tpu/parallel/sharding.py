@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import GazeModel
 from ..train.state import TrainState, flip_half_batch
-from .mesh import batch_spec, params_shardings
+from .mesh import DATA_AXIS, batch_spec, params_shardings
 
 
 def _state_shardings(state: TrainState, mesh: Mesh,
@@ -276,3 +276,83 @@ def make_sharded_predict(model: GazeModel, mesh: Mesh, *,
         return jitted(params, frames, c3d)
 
     return wrapper
+
+
+def make_sharded_evaluate(mesh: Mesh, *, metrics=None, max_fix: int = 64,
+                          n_rep: int = 100, exact: bool = True) -> Callable:
+    """Frame-parallel on-device metric evaluation over the "data" axis.
+
+    Saliency scoring is embarrassingly parallel across frames — the only
+    cross-frame couplings are the AUC_shuffled other-map union (computed
+    once from the FULL fixation population, `evaluation_metrics.py:283-287`,
+    then replicated) and the AUC capacity preamble (a global max) — so an
+    eval epoch shards its frame axis across the mesh and N chips score
+    N x the frames in the same ~0.5 ms (BENCHMARKS.md "On-device metric
+    evaluation"). Replaces the reference's per-frame joblib pool
+    (`models/evaluate_gaze.py:203-232`) at multi-chip scale.
+
+    Returns `evaluate(pred, gt, fixation, key, other_map=None) ->
+    {metric: [N]}`; N is padded up to a multiple of the data axis
+    internally (padded frames have empty fixation maps and are sliced off
+    before returning).
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..eval import metrics_jax
+
+    metrics = tuple(metrics if metrics is not None
+                    else metrics_jax.AVAILABLE_METRICS)
+    frame_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    n_data = mesh.shape[DATA_AXIS]
+
+    jitted = jax.jit(
+        metrics_jax._evaluate_batch_impl,
+        static_argnames=("metrics", "max_fix", "n_rep", "max_other",
+                         "exact"),
+        in_shardings=(frame_sh, frame_sh, frame_sh, repl, repl),
+        out_shardings=frame_sh,
+    )
+
+    def evaluate(pred, gt, fixation, key, other_map=None):
+        pred = jnp.asarray(pred)
+        gt = jnp.asarray(gt)
+        fixation = jnp.asarray(fixation)
+        pred = pred.reshape(pred.shape[0], *pred.shape[-2:])
+        n = pred.shape[0]
+
+        key, k_other = jax.random.split(key)
+        if other_map is None:
+            if "AUC_shuffled" in metrics:
+                other_map = metrics_jax.build_other_map_union(fixation,
+                                                              k_other)
+            else:
+                other_map = jnp.zeros(fixation.shape[-2:], fixation.dtype)
+
+        cap, max_other = max_fix, None
+        needs_capacity = ("AUC_Judd" in metrics
+                          or (not exact and any(m.startswith("AUC")
+                                                for m in metrics)))
+        if needs_capacity:
+            densest, n_other = (int(x) for x in
+                                metrics_jax._preamble_stats(fixation,
+                                                            other_map))
+            if densest > cap:
+                cap = 1 << (densest - 1).bit_length()
+            if not exact and "AUC_shuffled" in metrics:
+                max_other = min(1 << (max(n_other, 1) - 1).bit_length(),
+                                pred.shape[-2] * pred.shape[-1])
+
+        pad = (-n) % n_data
+        if pad:
+            def pad_to(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
+            pred, gt, fixation = (pad_to(x) for x in (pred, gt, fixation))
+        out = jitted(pred, gt, fixation, other_map, key, metrics, cap,
+                     n_rep, max_other, exact)
+        return {m: v[:n] for m, v in out.items()} if pad else out
+
+    return evaluate

@@ -420,3 +420,34 @@ def test_sharded_fused_train_step_finetune_joint():
     assert max_delta > 0.0, "C3D tower did not update under finetune_c3d"
     g, o, c, m2 = step(g, o, c, batch, jax.random.PRNGKey(8))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_sharded_evaluate_matches_local():
+    """Frame-parallel metric eval over the data axis: identical to the
+    single-device evaluate_batch (exact mode is deterministic, so the
+    match is exact), including the ragged-N padding path."""
+    from recurrent_gaze_prediction_tpu.eval import metrics_jax
+    from recurrent_gaze_prediction_tpu.parallel import make_sharded_evaluate
+
+    rng = np.random.RandomState(3)
+    n = 21  # NOT a multiple of 8: exercises the pad/slice path
+    pred = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
+    gt = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
+    fix = jnp.asarray((rng.rand(n, 49, 49) < 0.005).astype(np.float32))
+
+    key = jax.random.PRNGKey(0)
+    k_eval, k_other = jax.random.split(key)
+    # pin the other-map union so both paths score the same negatives
+    other = metrics_jax.build_other_map_union(fix, k_other)
+
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    sharded = make_sharded_evaluate(mesh)
+    out_sh = sharded(pred, gt, fix, k_eval, other_map=other)
+
+    out_local = metrics_jax.evaluate_batch(pred, gt, fix, k_eval,
+                                           other_map=other)
+    assert set(out_sh) == set(out_local)
+    for m in out_local:
+        np.testing.assert_allclose(np.asarray(out_sh[m])[:n],
+                                   np.asarray(out_local[m]),
+                                   rtol=2e-6, atol=2e-6, err_msg=m)
