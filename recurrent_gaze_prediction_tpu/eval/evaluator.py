@@ -84,9 +84,12 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
     frame axis over the mesh's "data" axis (`parallel.
     make_sharded_evaluate`) — exact mode is deterministic, so sharded
     and local scores are identical."""
-    ragged = (fixationmaps.dtype == np.dtype(object)
-              if isinstance(fixationmaps, np.ndarray)
-              else len({np.shape(f) for f in fixationmaps}) > 1)
+    if isinstance(fixationmaps, jax.Array):
+        ragged = False  # a device array is rectangular by construction
+    elif isinstance(fixationmaps, np.ndarray):
+        ragged = fixationmaps.dtype == np.dtype(object)
+    else:
+        ragged = len({np.shape(f) for f in fixationmaps}) > 1
     if on_device and ragged:
         # ragged original-scale maps cannot form one device array; the
         # NumPy protocol is the documented path for them
@@ -123,17 +126,75 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
     return out
 
 
+def generate_on_device(predict_fn: Callable, params, dataset: ClipDataset,
+                       batch_size: int, max_instances: Optional[int] = 50,
+                       input_cast=None) -> dict:
+    """`generate`, but prediction maps NEVER visit the host: per batch the
+    inputs transfer up once, predict runs on-device, and the pred/gt/
+    fixation stacks stay device arrays (concatenated on-device at the
+    end) for `evaluate` to score in place. Skips the frame-image stack
+    (only needed for dumps). Saves two full map transfers per eval epoch
+    vs generate()+evaluate() — the reference's loop materializes every
+    map in host memory (`gaze_rnn.py:568-650`). Requires fixed-scale
+    fixation maps (the ragged original-scale protocol is host-side by
+    nature)."""
+    import jax.numpy as jnp
+
+    pred_list, gt_list, fix_list, name_list = [], [], [], []
+    for batch in dataset.iter_batches(batch_size, max_instances):
+        frames, c3d = batch["frames"], batch["c3d"]
+        if batch["fixationmaps"].dtype == object:
+            raise ValueError(
+                "generate_on_device needs fixed-scale fixation maps; use "
+                "generate() + the NumPy protocol for ragged original-scale "
+                "maps")
+        if input_cast is not None:
+            frames = np.asarray(frames).astype(input_cast)
+            c3d = np.asarray(c3d).astype(input_cast)
+        preds = predict_fn(params, jnp.asarray(frames), jnp.asarray(c3d))
+        b, t = preds.shape[:2]
+        pred_list.append(preds.reshape(b * t, *preds.shape[2:]))
+        gt_list.append(jnp.asarray(batch["gazemaps"]).reshape(
+            b * t, *batch["gazemaps"].shape[2:]))
+        fix_list.append(jnp.asarray(batch["fixationmaps"]).reshape(
+            b * t, *batch["fixationmaps"].shape[2:]))
+        name_list.extend(n for n in batch["clipnames"] for _ in range(t))
+    return {
+        "pred_gazemaps": jnp.concatenate(pred_list),
+        "gt_gazemaps": jnp.concatenate(gt_list),
+        "fixationmaps": jnp.concatenate(fix_list),
+        "clipnames": name_list,
+    }
+
+
 def generate_and_evaluate(predict_fn: Callable, params, dataset: ClipDataset,
                           batch_size: int, max_instances: Optional[int] = 50,
                           metrics: Sequence[str] = AVAILABLE_METRICS,
                           on_device: bool = True,
-                          input_cast=None) -> tuple[dict, dict]:
-    """`gaze_rnn.py:677-680` equivalent."""
+                          input_cast=None, keep_maps: str = "device",
+                          mesh=None) -> tuple[dict, dict]:
+    """`gaze_rnn.py:677-680` equivalent. `keep_maps="device"` (default)
+    scores without ever moving maps to the host (falls back to the host
+    path for ragged original-scale maps or `on_device=False`);
+    `keep_maps="host"` returns NumPy stacks incl. frame images, like the
+    reference's loop."""
+    if keep_maps == "device" and on_device:
+        try:
+            ret = generate_on_device(predict_fn, params, dataset,
+                                     batch_size, max_instances,
+                                     input_cast=input_cast)
+        except ValueError:
+            ret = None
+        if ret is not None:
+            scores = evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
+                              ret["fixationmaps"], metrics=metrics,
+                              on_device=True, mesh=mesh)
+            return ret, scores
     ret = generate(predict_fn, params, dataset, batch_size, max_instances,
                    input_cast=input_cast)
     scores = evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
                       ret["fixationmaps"], metrics=metrics,
-                      on_device=on_device)
+                      on_device=on_device, mesh=mesh)
     return ret, scores
 
 

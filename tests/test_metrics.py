@@ -413,3 +413,37 @@ def test_evaluator_and_cli_expose_sampled_auc():
     out = evaluator.evaluate(pred, gt, fix, metrics=("AUC_Borji",),
                              exact=False, n_rep=16)
     assert np.isfinite(out["AUC_Borji"])
+
+
+def test_generate_on_device_matches_host_path():
+    """The fused eval path (maps never visit the host) must score exactly
+    like generate()+evaluate() — exact mode is deterministic."""
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.data import synthetic
+    from recurrent_gaze_prediction_tpu.eval import evaluator
+    from recurrent_gaze_prediction_tpu.train import make_predict_fn
+
+    model = registry.create_model("gaze_grcn", n_lstm_steps=3, batch_size=2,
+                                  compute_dtype="float32",
+                                  rnn_state_size=8, dim_cnn_proj=16)
+    params = model.init(jax.random.PRNGKey(0))
+    data = synthetic.make_splits(n_train=0, n_valid=4, n_test=0, t=3,
+                                 gazemap_hw=(49, 49), seed=1).valid
+    predict = make_predict_fn(model)
+
+    ret_dev, scores_dev = evaluator.generate_and_evaluate(
+        predict, params, data, batch_size=2, max_instances=None)
+    ret_host, scores_host = evaluator.generate_and_evaluate(
+        predict, params, data, batch_size=2, max_instances=None,
+        keep_maps="host")
+
+    # device path: maps stayed device arrays, no image stack collected
+    assert isinstance(ret_dev["pred_gazemaps"], jax.Array)
+    assert "images" not in ret_dev
+    assert "images" in ret_host
+    assert ret_dev["clipnames"] == ret_host["clipnames"]
+    np.testing.assert_allclose(np.asarray(ret_dev["pred_gazemaps"]),
+                               ret_host["pred_gazemaps"], atol=1e-6)
+    for m in scores_host:
+        np.testing.assert_allclose(scores_dev[m], scores_host[m],
+                                   rtol=1e-5, atol=1e-6, err_msg=m)
