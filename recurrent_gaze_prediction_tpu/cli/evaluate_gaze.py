@@ -102,9 +102,19 @@ def main(argv: Optional[list[str]] = None) -> int:
     predict = make_predict_fn(model)
     input_cast = (jax.numpy.bfloat16
                   if model.cfg.compute_dtype == "bfloat16" else None)
-    ret = evaluator.generate(predict, state.params, dataset,
-                             model.cfg.batch_size, max_instances,
-                             input_cast=input_cast)
+    ret = None
+    if args.on_device and not args.dump_images:
+        # fused path: maps stay on-device; only scores transfer back
+        try:
+            ret = evaluator.generate_on_device(
+                predict, state.params, dataset, model.cfg.batch_size,
+                max_instances, input_cast=input_cast)
+        except ValueError:  # ragged original-scale maps -> host path
+            ret = None
+    if ret is None:
+        ret = evaluator.generate(predict, state.params, dataset,
+                                 model.cfg.batch_size, max_instances,
+                                 input_cast=input_cast)
     mesh = None
     if args.data_parallel > 1:
         from ..parallel import make_mesh
