@@ -447,3 +447,24 @@ def test_generate_on_device_matches_host_path():
     for m in scores_host:
         np.testing.assert_allclose(scores_dev[m], scores_host[m],
                                    rtol=1e-5, atol=1e-6, err_msg=m)
+
+
+def test_auc_shuffled_bounded_candidate_set_is_faithful():
+    """max_other >= the union's fixated-pixel count must not bias the
+    sampler: its mean over keys matches the exact expectation like the
+    unbounded (max_other=None) sampler does."""
+    pred, _, fix = _random_frames(n=8, seed=21, n_fix_range=(6, 12))
+    other = (fix[:6] > 0).sum(0)
+    jp, jf, jo = jnp.array(pred), jnp.array(fix), jnp.array(other)
+    n_other = int((other > 0.5).sum())
+    mo = 1 << (n_other - 1).bit_length()  # smallest sufficient power of 2
+
+    exact = np.asarray(mj.auc_shuffled_batch(jp, jf, jo,
+                                             jax.random.PRNGKey(0)))
+    bounded = np.stack([
+        np.asarray(mj.auc_shuffled_batch(jp, jf, jo, jax.random.PRNGKey(k),
+                                         n_rep=128, max_other=mo,
+                                         exact=False))
+        for k in range(4)
+    ]).mean(0)
+    np.testing.assert_allclose(bounded, exact, atol=0.03)
