@@ -120,22 +120,21 @@ def main(argv: Optional[list[str]] = None) -> int:
         from ..parallel import make_mesh
 
         mesh = make_mesh(data_parallel=args.data_parallel, model_parallel=1)
-    scores = evaluator.evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],
-                                ret["fixationmaps"], metrics=args.metrics,
-                                on_device=args.on_device, exact=args.exact,
-                                mesh=mesh)
 
-    out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
-    mkdir_p(out_dir)
-    evaluator.write_overall(os.path.join(out_dir, "overall.txt"), scores)
-    log.infov("wrote %s", os.path.join(out_dir, "overall.txt"))
-
-    # per-frame scores (reference scores.txt, evaluate_gaze.py:149-158).
     # The NumPy protocol loads fixation maps at ORIGINAL scale, which the
     # batched on-device metrics (fixed [N,H,W]) cannot consume — score
     # per frame through metrics_np there instead.
     n = len(ret["pred_gazemaps"])
-    if args.on_device:
+    fix = ret["fixationmaps"]
+    ragged = isinstance(fix, np.ndarray) and fix.dtype == np.dtype(object)
+    if args.on_device and ragged:
+        log.warn("ragged original-scale fixation maps: falling back to "
+                 "the per-frame NumPy protocol")
+
+    if args.on_device and not ragged:
+        # One metric program produces the per-frame scores
+        # (reference scores.txt, evaluate_gaze.py:149-158); overall.txt
+        # is their nanmean — no second pass.
         if mesh is not None:
             from ..parallel import make_sharded_evaluate
 
@@ -143,19 +142,24 @@ def main(argv: Optional[list[str]] = None) -> int:
                 mesh, metrics=tuple(args.metrics), exact=args.exact)(
                     jax.numpy.asarray(ret["pred_gazemaps"]),
                     jax.numpy.asarray(ret["gt_gazemaps"]),
-                    jax.numpy.asarray(ret["fixationmaps"]),
+                    jax.numpy.asarray(fix),
                     jax.random.PRNGKey(0))
         else:
             per_frame = evaluator.metrics_jax.evaluate_batch(
                 jax.numpy.asarray(ret["pred_gazemaps"]),
                 jax.numpy.asarray(ret["gt_gazemaps"]),
-                jax.numpy.asarray(ret["fixationmaps"]),
+                jax.numpy.asarray(fix),
                 jax.random.PRNGKey(0), metrics=tuple(args.metrics),
                 exact=args.exact)
+        scores = {m: float(np.nanmean(np.asarray(v)))
+                  for m, v in per_frame.items()}
 
         def frame_score(metric, i):
             return float(per_frame[metric][i])
     else:
+        scores = evaluator.evaluate(ret["pred_gazemaps"],
+                                    ret["gt_gazemaps"], fix,
+                                    metrics=args.metrics, on_device=False)
         rng = np.random.RandomState(0)
         other_union = None
         if "AUC_shuffled" in args.metrics and n:
@@ -166,6 +170,11 @@ def main(argv: Optional[list[str]] = None) -> int:
             return evaluator.metrics_np.saliency_score_single(
                 metric, ret["pred_gazemaps"][i], ret["gt_gazemaps"][i],
                 ret["fixationmaps"][i], other_map_union=other_union, rng=rng)
+
+    out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
+    mkdir_p(out_dir)
+    evaluator.write_overall(os.path.join(out_dir, "overall.txt"), scores)
+    log.infov("wrote %s", os.path.join(out_dir, "overall.txt"))
 
     with open(os.path.join(out_dir, "scores.txt"), "w") as f:
         f.write("frame\t" + "\t".join(args.metrics) + "\n")
