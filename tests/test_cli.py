@@ -52,6 +52,16 @@ def test_evaluate_cli(trained_run, tmp_path):
     scores = open(os.path.join(out_dir, "scores.txt")).read().splitlines()
     assert scores[0].startswith("frame")
     assert len(scores) > 1
+    # overall.txt IS the nanmean of the scores.txt columns: the CLI scores
+    # every frame exactly once and derives the aggregate from the same
+    # per-frame vectors (no second metric pass)
+    header = scores[0].split("\t")[1:]
+    cols = np.array([[float(v) for v in line.split("\t")[1:]]
+                     for line in scores[1:]])
+    agg = dict(line.split(": ") for line in overall.strip().splitlines())
+    for j, metric in enumerate(header):
+        np.testing.assert_allclose(float(agg[metric]),
+                                   np.nanmean(cols[:, j]), atol=1e-5)
 
 
 def test_extract_map_cli(trained_run, tmp_path):
