@@ -222,8 +222,15 @@ def bench_metric_eval(n: int = 4200, iters: int = 2000):
     rng = np.random.RandomState(0)
     pred = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
     gt = jnp.asarray(rng.rand(n, 49, 49).astype(np.float32))
-    fix = jnp.asarray(
-        (rng.rand(n, 49, 49) < 0.004).astype(np.float32))
+    # guaranteed >=4 fixations per frame (like scripts/bench_metrics.py):
+    # a zero-fixation frame scores NaN, and one NaN in the carry fold
+    # would poison eps for every later iteration, breaking the
+    # bit-identical-values invariant the 1e-18 trick relies on
+    fix_np = np.zeros((n, 49, 49), np.float32)
+    for i in range(n):
+        k = rng.randint(4, 14)
+        fix_np[i, rng.randint(0, 49, k), rng.randint(0, 49, k)] = 1.0
+    fix = jnp.asarray(fix_np)
     other = metrics_jax.build_other_map_union(fix, jax.random.PRNGKey(7))
     metrics = metrics_jax.AVAILABLE_METRICS
 

@@ -109,7 +109,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             ret = evaluator.generate_on_device(
                 predict, state.params, dataset, model.cfg.batch_size,
                 max_instances, input_cast=input_cast)
-        except ValueError:  # ragged original-scale maps -> host path
+        except evaluator.RaggedMapsError:  # original-scale maps -> host path
             ret = None
     if ret is None:
         ret = evaluator.generate(predict, state.params, dataset,
@@ -157,19 +157,29 @@ def main(argv: Optional[list[str]] = None) -> int:
         def frame_score(metric, i):
             return float(per_frame[metric][i])
     else:
-        scores = evaluator.evaluate(ret["pred_gazemaps"],
-                                    ret["gt_gazemaps"], fix,
-                                    metrics=args.metrics, on_device=False)
+        # Score each frame exactly once here too: overall.txt is the
+        # nanmean of the very same per-frame values written to scores.txt
+        # (one RNG stream), not a second full metric pass.
         rng = np.random.RandomState(0)
         other_union = None
         if "AUC_shuffled" in args.metrics and n:
             other_union = evaluator.metrics_np.build_other_map_union(
                 ret["fixationmaps"], rng=rng)
+        per_frame = {
+            m: [evaluator.metrics_np.saliency_score_single(
+                    m, ret["pred_gazemaps"][i], ret["gt_gazemaps"][i],
+                    ret["fixationmaps"][i], other_map_union=other_union,
+                    rng=rng)
+                for i in range(n)]
+            for m in args.metrics
+        }
+        scores = {m: float(np.nanmean(np.asarray(v, np.float64)))
+                  for m, v in per_frame.items()}
+        for metric, score in scores.items():
+            log.infov("Saliency %s : %f", metric, score)
 
         def frame_score(metric, i):
-            return evaluator.metrics_np.saliency_score_single(
-                metric, ret["pred_gazemaps"][i], ret["gt_gazemaps"][i],
-                ret["fixationmaps"][i], other_map_union=other_union, rng=rng)
+            return float(per_frame[metric][i])
 
     out_dir = args.out_dir or os.path.join(args.train_dir, "evaluation")
     mkdir_p(out_dir)

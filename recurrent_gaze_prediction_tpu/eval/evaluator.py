@@ -22,6 +22,14 @@ from . import metrics_jax, metrics_np
 AVAILABLE_METRICS = metrics_jax.AVAILABLE_METRICS
 
 
+class RaggedMapsError(ValueError):
+    """Fixation maps are ragged (original-scale, mixed resolutions), so the
+    on-device path cannot form one rectangular device array. Callers catch
+    THIS — not bare ValueError — so unrelated errors from predict_fn or the
+    data pipeline propagate instead of silently re-running the epoch on the
+    host path."""
+
+
 def generate(predict_fn: Callable, params, dataset: ClipDataset,
              batch_size: int, max_instances: Optional[int] = 50,
              input_cast=None) -> dict:
@@ -144,7 +152,7 @@ def generate_on_device(predict_fn: Callable, params, dataset: ClipDataset,
     for batch in dataset.iter_batches(batch_size, max_instances):
         frames, c3d = batch["frames"], batch["c3d"]
         if batch["fixationmaps"].dtype == object:
-            raise ValueError(
+            raise RaggedMapsError(
                 "generate_on_device needs fixed-scale fixation maps; use "
                 "generate() + the NumPy protocol for ragged original-scale "
                 "maps")
@@ -183,7 +191,7 @@ def generate_and_evaluate(predict_fn: Callable, params, dataset: ClipDataset,
             ret = generate_on_device(predict_fn, params, dataset,
                                      batch_size, max_instances,
                                      input_cast=input_cast)
-        except ValueError:
+        except RaggedMapsError:
             ret = None
         if ret is not None:
             scores = evaluate(ret["pred_gazemaps"], ret["gt_gazemaps"],

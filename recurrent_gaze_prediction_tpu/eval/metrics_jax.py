@@ -405,8 +405,16 @@ def evaluate_batch(pred: jax.Array, gt: jax.Array, fixation: jax.Array,
     """
     if chunk_size is None:
         # exact mode has no [chunk, n_rep, ...] noise tensors, so much
-        # larger chunks fit; fewer dispatches matter on tunneled backends
-        chunk_size = 8192 if exact else 512
+        # larger chunks fit; fewer dispatches matter on tunneled backends.
+        # The exact AUC paths still form [chunk, ~10, H*W] comparison
+        # tensors, so budget a fixed chunk*H*W working set (8192 frames at
+        # 49x49 = ~20M elements) instead of a flat frame count — larger
+        # maps get proportionally smaller chunks.
+        if exact:
+            pixels = max(int(pred.shape[-2]) * int(pred.shape[-1]), 1)
+            chunk_size = max(min(8192, (8192 * 49 * 49) // pixels), 64)
+        else:
+            chunk_size = 512
     key, k_other = jax.random.split(key)
     pred = pred.reshape(pred.shape[0], *pred.shape[-2:])
     n = pred.shape[0]
