@@ -747,3 +747,269 @@ def test_caffemodel_blob_data_split_across_chunks():
     arr = cm._parse_blob(memoryview(buf), legacy_4d=False)
     assert arr.shape == (1, 2, 3, 2, 2)
     np.testing.assert_array_equal(arr.ravel(), vals)
+
+
+# ---------------------------------------------------------------------------
+# TF-anchored WHOLE-NETWORK goldens (round 4): the components above are each
+# pinned against TF, but composition bugs live in the seams (dtype
+# boundaries, BN placement, loss reduction). These rebuild the reference's
+# COMPLETE `create_gazeprediction_network` graphs from raw tf.nn ops with
+# shared weights and pin (a) the fp32 forward maps, (b) the xentropy loss,
+# and (c) dL/dtheta for EVERY parameter — through the linearized decoder
+# (B*T >= 32 so `apply_decoder` takes the composed-matmul path).
+# Graph: `/root/reference/models/gaze_grcn.py:174-376`; loss:
+# `/root/reference/models/gaze_rnn.py:363-408`.
+# ---------------------------------------------------------------------------
+
+
+def _jax_to_tf_deconv(k):
+    """HWIO (lax scatter-flipped) -> TF conv2d_transpose [h, w, out, in]."""
+    return np.asarray(k)[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+def _tf_from_jax_deconv_grad(g):
+    """Map dL/dk_tf back to dL/dk_jax (the layout map is its own inverse
+    transform: flip spatial, swap the last two axes)."""
+    return np.asarray(g)[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+def _scaled_like(tree, rng, scale_fn):
+    """Replace every leaf with randn scaled per-leaf (fan-in aware), so
+    recurrent gates stay in their responsive range instead of saturating
+    (saturated gates would make gradient parity trivially true)."""
+    import jax
+
+    def leaf(x):
+        shape = np.shape(x)
+        return (rng.randn(*shape) * scale_fn(shape)).astype(np.float32)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def _default_scale(shape):
+    if len(shape) <= 1:
+        return 0.1
+    fan_in = float(np.prod(shape[:-1]))
+    return 1.0 / np.sqrt(fan_in)
+
+
+def _build_tf_grcn_graph(tfp, c3d, gt_norm, b, t):
+    """The full reference gaze_grcn network + xentropy loss in raw TF2 ops.
+
+    Mirrors `create_gazeprediction_network` (gaze_grcn.py:174-376) with
+    dropout off: c3d transpose -> 1024->512 projection -> ConvGRU over T
+    -> per-frame frozen BN -> 3 deconvs -> 12->1 head -> [B,T,49,49];
+    then sum_t softmax-xent / (B*T) (gaze_rnn.py:381-407).
+    """
+    def c2d(a, k):
+        return tf.nn.conv2d(a, tfp[k], [1, 1, 1, 1], padding="SAME")
+
+    units = int(tfp["U"].shape[-1])
+    # projection (gaze_grcn.py:234-254)
+    x = tf.transpose(c3d, perm=[0, 1, 3, 4, 2])
+    flat = tf.reshape(x, [-1, int(tfp["proj_c3d_W"].shape[0])])
+    emb = tf.matmul(flat, tfp["proj_c3d_W"]) + tfp["proj_c3d_b"]
+    emb = tf.reshape(emb, [b, t, 7, 7, int(tfp["proj_c3d_W"].shape[1])])
+
+    # ConvGRU over T (gaze_grcn.py:259-288; cell eqs :108-146)
+    h = tf.zeros((b, 7, 7, units), tf.float32)
+    rcn_outputs = []
+    for i in range(t):
+        xi = emb[:, i]
+        u = tf.sigmoid(c2d(xi, "W_z") + c2d(h, "U_z"))
+        r = tf.sigmoid(c2d(xi, "W_r") + c2d(h, "U_r"))
+        cand = tf.tanh(c2d(xi, "W") + c2d(r * h, "U"))
+        h = u * h + (1.0 - u) * cand
+        rcn_outputs.append(h)
+
+    # per-frame decoder (gaze_grcn.py:316-366), dropout off
+    zeros = tf.zeros((units,), tf.float32)
+    ones = tf.ones((units,), tf.float32)
+    maps = []
+    for i in range(t):
+        y = tf.nn.batch_normalization(
+            rcn_outputs[i], zeros, ones, tfp["bn_offset"], tfp["bn_scale"],
+            variance_epsilon=1e-3)  # tf.layers.batch_normalization, untrained
+        y = tf.nn.conv2d_transpose(y, tfp["up1_tf"],
+                                   output_shape=[b, 23, 23, 64],
+                                   strides=[1, 3, 3, 1], padding="VALID")
+        y = tf.nn.conv2d_transpose(y, tfp["up2_tf"],
+                                   output_shape=[b, 49, 49, 32],
+                                   strides=[1, 2, 2, 1], padding="VALID")
+        y = tf.nn.conv2d_transpose(y, tfp["up3_tf"],
+                                   output_shape=[b, 49, 49, 12],
+                                   strides=[1, 1, 1, 1], padding="SAME")
+        y = tf.matmul(tf.reshape(y, [-1, 12]), tfp["out_W"]) + tfp["out_b"]
+        maps.append(tf.reshape(y, [b, 49, 49]))
+    pred = tf.transpose(tf.stack(maps), [1, 0, 2, 3])  # [B,T,49,49]
+
+    # loss (gaze_rnn.py:381-407): per-step softmax-xent over the flattened
+    # 2401 grid, summed, divided by B*T
+    loss = 0.0
+    for i in range(t):
+        logits_flat = tf.reshape(pred[:, i], [b, -1])
+        labels_flat = tf.reshape(gt_norm[:, i], [b, -1])
+        xloss = tf.nn.softmax_cross_entropy_with_logits(
+            logits=logits_flat, labels=labels_flat)
+        loss += tf.reduce_sum(xloss)
+    loss = loss / float(b * t)
+    return pred, loss
+
+
+def test_tf_golden_grcn_whole_network_forward_loss_and_grads():
+    """The composed gaze_grcn network end to end vs raw TF2 ops at the
+    REFERENCE dims (1024->512 proj, 128-unit ConvGRU): forward maps at
+    fp32 <=1e-5 (rtol), loss exact to fp32 noise, and dL/dtheta for every
+    one of the 15 parameters <=2e-4 — through the linearized decoder
+    (B*T = 32 >= _COMPOSE_MIN_N, so the composed-matmul path is the one
+    under test; its stagewise anchor is test_tf_golden_grcn_decoder_chain).
+    """
+    from recurrent_gaze_prediction_tpu.models.common import _COMPOSE_MIN_N
+
+    b, t = 4, 8
+    assert b * t >= _COMPOSE_MIN_N  # the linearized path must engage
+
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=b,
+                                  compute_dtype="float32")
+    rng = np.random.RandomState(23)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+    params["decoder"]["bn_scale"] = (
+        1.0 + 0.1 * rng.randn(128)).astype(np.float32)
+    params["decoder"]["bn_offset"] = (
+        0.1 * rng.randn(128)).astype(np.float32)
+
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)  # unused by gaze_grcn
+    gt = (rng.rand(b, t, 49, 49).astype(np.float32) + 0.01)
+    gt_norm = gt / gt.sum(axis=(-2, -1), keepdims=True)
+
+    # ---- TF oracle (tracks every parameter for gradients)
+    tfp = {}
+    for k, v in params["c3d_proj"].items():
+        tfp[k] = tf.Variable(v)
+    for k, v in params["cell"].items():
+        tfp[k] = tf.Variable(v)
+    dec = params["decoder"]
+    for k in ("out_W", "out_b", "bn_scale", "bn_offset"):
+        tfp[k] = tf.Variable(np.asarray(dec[k]))
+    for i, k in enumerate(("up1_w", "up2_w", "up3_w"), start=1):
+        tfp[f"up{i}_tf"] = tf.Variable(_jax_to_tf_deconv(dec[k]))
+
+    with tf.GradientTape() as tape:
+        tf_pred, tf_loss = _build_tf_grcn_graph(
+            tfp, tf.constant(c3d), tf.constant(gt_norm), b, t)
+    tf_grads = tape.gradient(tf_loss, tfp)
+
+    # ---- JAX model under test
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    ours = np.asarray(model.apply(jparams, jnp.asarray(frames),
+                                  jnp.asarray(c3d), train=False))
+    np.testing.assert_allclose(ours, tf_pred.numpy(), rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_grcn whole-network forward")
+
+    batch = {"frames": jnp.asarray(frames), "c3d": jnp.asarray(c3d),
+             "gazemaps": jnp.asarray(gt)}
+
+    def loss_fn(p):
+        # train=False: dropout off, like the TF oracle; the gt probability
+        # normalization happens inside model.loss (gaze_rnn.py:499-500)
+        return model.loss(p, batch, train=False)[0]
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jparams)
+    np.testing.assert_allclose(float(jloss), float(tf_loss),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="gaze_grcn whole-network loss")
+
+    # every parameter's gradient, mapped back to the JAX layout
+    flat_expected = {}
+    for k in params["c3d_proj"]:
+        flat_expected[("c3d_proj", k)] = tf_grads[k].numpy()
+    for k in params["cell"]:
+        flat_expected[("cell", k)] = tf_grads[k].numpy()
+    for k in ("out_W", "out_b", "bn_scale", "bn_offset"):
+        flat_expected[("decoder", k)] = tf_grads[k].numpy()
+    for i, k in enumerate(("up1_w", "up2_w", "up3_w"), start=1):
+        flat_expected[("decoder", k)] = _tf_from_jax_deconv_grad(
+            tf_grads[f"up{i}_tf"].numpy())
+
+    n_checked = 0
+    for (group, k), expected in flat_expected.items():
+        got = np.asarray(jgrads[group][k])
+        # atol floor 1e-6: dL/d(out_b) is analytically ZERO (a uniform
+        # logit shift is softmax-xent invariant), so both sides are fp32
+        # round-off there (~1e-8) and only an absolute floor is meaningful
+        scale = max(np.abs(expected).max(), 5e-3)
+        np.testing.assert_allclose(
+            got, expected, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"gaze_grcn whole-network dL/d{group}.{k}")
+        n_checked += 1
+    assert n_checked == 15  # 2 proj + 6 cell + 7 decoder
+
+
+def test_tf_golden_grcn_cascade_whole_network_forward():
+    """The two-level cascade (`gaze_grcn_cascade.py:188-424`) composed end
+    to end vs raw TF2 ops: 1024->512 proj -> bottom ConvGRU(256) at 7x7 ->
+    deconv 11x11/s7 SAME -> top ConvGRU(3 units, 5x5) at 49x49 -> per-frame
+    fc4802+relu+maxout x2 head. The most intricate composition in the zoo
+    (two recurrences at different resolutions with a deconv in between)."""
+    b, t = 2, 4
+    model = registry.create_model("gaze_grcn_cascade", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32")
+    rng = np.random.RandomState(29)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = rng.rand(b, t, 98, 98, 3).astype(np.float32)
+
+    def c2d(a, k):
+        return tf.nn.conv2d(a, k, [1, 1, 1, 1], padding="SAME")
+
+    def convgru_loop(cell, xs_bt, spatial, units):
+        h = tf.zeros((b, spatial, spatial, units), tf.float32)
+        outs = []
+        for i in range(t):
+            xi = xs_bt[:, i]
+            u = tf.sigmoid(c2d(xi, cell["W_z"]) + c2d(h, cell["U_z"]))
+            r = tf.sigmoid(c2d(xi, cell["W_r"]) + c2d(h, cell["U_r"]))
+            cand = tf.tanh(c2d(xi, cell["W"]) + c2d(r * h, cell["U"]))
+            h = u * h + (1.0 - u) * cand
+            outs.append(h)
+        return outs
+
+    # projection (cascade has NO dropout on the embedding, :270-276)
+    x = tf.transpose(tf.constant(c3d), perm=[0, 1, 3, 4, 2])
+    emb = (tf.matmul(tf.reshape(x, [-1, 1024]),
+                      params["c3d_proj"]["proj_c3d_W"])
+           + params["c3d_proj"]["proj_c3d_b"])
+    emb = tf.reshape(emb, [b, t, 7, 7, 512])
+
+    bottom = convgru_loop(params["bottom_cell"], emb, 7, 256)
+
+    up_tf = _jax_to_tf_deconv(params["up_w"])  # [11,11,64,256]
+    upsampled = [tf.nn.conv2d_transpose(
+        h, up_tf, output_shape=[b, 49, 49, 64], strides=[1, 7, 7, 1],
+        padding="SAME") for h in bottom]
+
+    top = convgru_loop(params["top_cell"],
+                       tf.stack(upsampled, axis=1), 49, 3)
+
+    maps = []
+    for i in range(t):
+        flat = tf.reshape(top[i], [b, -1])
+        fc1 = tf.nn.relu(tf.matmul(flat, params["fc1_w"])
+                         + params["fc1_b"])
+        s1, s2 = tf.split(fc1, 2, axis=1)
+        mo1 = tf.maximum(s1, s2)
+        fc2 = tf.nn.relu(tf.matmul(mo1, params["fc2_w"])
+                         + params["fc2_b"])
+        s1, s2 = tf.split(fc2, 2, axis=1)
+        maps.append(tf.reshape(tf.maximum(s1, s2), [b, 49, 49]))
+    expected = tf.transpose(tf.stack(maps), [1, 0, 2, 3]).numpy()
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    ours = np.asarray(model.apply(jparams, jnp.asarray(frames),
+                                  jnp.asarray(c3d), train=False))
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_grcn_cascade whole-network")
