@@ -71,8 +71,9 @@ def bench_inference():
     elapsed = time.perf_counter() - start
 
     frames_per_sec = b * f * n_iters / elapsed
-    flops = mfu_lib.compiled_flops(step, c3d_params, gaze_params, frames,
-                                   jnp.float32(0.0))
+    flops, _ = mfu_lib.compiled_flops_corrected(step, c3d_params,
+                                                gaze_params, frames,
+                                                jnp.float32(0.0))
     util = mfu_lib.mfu(flops, n_iters / elapsed)
     return frames_per_sec, util
 
@@ -186,7 +187,12 @@ def bench_train_step(b: int = 16, t: int = 42):
              for k, v in data.next_batch(b).items() if k != "clipnames"}
     rng = jax.random.PRNGKey(1)
 
-    flops = mfu_lib.compiled_flops(step, state, batch, rng)
+    # corrected = XLA cost model + the scan-body undercount (the cost
+    # model counts each while body once; the ConvGRU fwd+bwd scans run
+    # T times). The raw cost-model figure is kept for cross-round
+    # continuity (BENCH_r01-r03 used it).
+    flops, flops_xla = mfu_lib.compiled_flops_corrected(step, state, batch,
+                                                        rng)
 
     state, metrics = step(state, batch, rng)  # compile + warmup
     float(metrics["loss"])
@@ -200,7 +206,8 @@ def bench_train_step(b: int = 16, t: int = 42):
 
     step_ms = elapsed / n_iters * 1e3
     util = mfu_lib.mfu(flops, n_iters / elapsed)
-    return step_ms, util
+    util_xla = mfu_lib.mfu(flops_xla, n_iters / elapsed)
+    return step_ms, util, util_xla
 
 
 def bench_metric_eval(n: int = 4200, iters: int = 2000):
@@ -282,8 +289,8 @@ def main() -> None:
         print(f"# int8 bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         int8_fps = None
-    train_ms, train_mfu = bench_train_step(16)
-    train56_ms, train56_mfu = bench_train_step(56)
+    train_ms, train_mfu, train_mfu_xla = bench_train_step(16)
+    train56_ms, train56_mfu, train56_mfu_xla = bench_train_step(56)
     try:
         fused_train_fps = bench_fused_train_step()
     except Exception as e:
@@ -305,8 +312,12 @@ def main() -> None:
         "int8_frames_per_sec": round(int8_fps, 1) if int8_fps else None,
         "train_step_ms": round(train_ms, 2),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_mfu_xla_costmodel": (
+            round(train_mfu_xla, 4) if train_mfu_xla else None),
         "train_step_ms_b56": round(train56_ms, 2),
         "train_mfu_b56": round(train56_mfu, 4) if train56_mfu else None,
+        "train_mfu_b56_xla_costmodel": (
+            round(train56_mfu_xla, 4) if train56_mfu_xla else None),
         "train_frames_per_sec_b56": round(56 * 42 / (train56_ms / 1e3), 0),
         "fused_train_raw_frames_per_sec": (
             round(fused_train_fps, 1) if fused_train_fps else None),

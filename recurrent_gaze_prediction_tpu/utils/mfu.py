@@ -53,3 +53,239 @@ def mfu(flops_per_call: Optional[float], calls_per_sec: float,
     if not peak or not flops_per_call:
         return None
     return flops_per_call * calls_per_sec / peak
+
+
+# ----------------------------------------------------- scan-body correction
+#
+# XLA's cost model counts a while-loop body ONCE, so any `lax.scan` program
+# (our ConvGRU/ConvLSTM recurrences, gradient-accumulation loops, and their
+# backward passes) under-reports by (trip_count - 1) x body FLOPs. The
+# trip count is recorded on the `while` op (`backend_config=
+# {"known_trip_count":{"n":...}}`) and the body is a named computation in
+# the optimized HLO, so the correction is computable from the HLO text:
+# walk each while's body (recursing through fusion/call/nested-while) and
+# add (n - 1) x the body's dot+convolution FLOPs. Elementwise body FLOPs
+# are not re-counted — they are noise next to the contractions, and MFU is
+# matmul-anchored — so the corrected figure is still a (tight) lower bound.
+
+import re as _re
+
+_COMP_HEADER = _re.compile(r"^(?:ENTRY )?%?([\w\.\-]+)\s*\(.*\)\s*->.*{")
+_NAME_EQ = _re.compile(r"^\s*(?:ROOT\s+)?%?([\w\.\-]+)\s*=\s*")
+_SHAPE = _re.compile(r"(?:[a-z]+\d+|pred)\[([\d,]*)\]")
+_TRIP = _re.compile(r'"known_trip_count":\s*{\s*"n":\s*"(\d+)"')
+_COMMENT = _re.compile(r"/\*.*?\*/")
+
+
+def _shape_dims(type_str: str) -> list[list[int]]:
+    """All array shapes in an HLO type string (tuples yield several)."""
+    out = []
+    for m in _SHAPE.finditer(type_str):
+        dims = m.group(1)
+        out.append([int(d) for d in dims.split(",")] if dims else [])
+    return out
+
+
+def _split_op_line(line: str) -> Optional[dict]:
+    """Parse one HLO op line into name/type/opcode/operands/attrs.
+
+    HLO types carry layout annotations with nested parens/braces
+    (`{3,0,2,1:T(8,128)S(1)}`) and tuple types carry `/*index=N*/`
+    comments, so this scans with bracket-depth counting instead of one
+    regex."""
+    line = _COMMENT.sub("", line)
+    m = _NAME_EQ.match(line)
+    if m is None:
+        return None
+    name = m.group(1)
+    i, n = m.end(), len(line)
+    start, depth = i, 0
+    while i < n:
+        ch = line[i]
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif ch == " " and depth == 0:
+            break
+        i += 1
+    type_str = line[start:i]
+    m2 = _re.match(r"\s*([\w\-]+)\(", line[i:])
+    if m2 is None:
+        return None
+    opcode = m2.group(1)
+    j = i + m2.end()
+    depth, k = 1, j
+    while k < n and depth > 0:
+        if line[k] in "({[":
+            depth += 1
+        elif line[k] in ")}]":
+            depth -= 1
+        k += 1
+    return {"name": name, "type": type_str, "opcode": opcode,
+            "operands": line[j:k - 1], "attrs": line[k:], "line": line}
+
+
+def _parse_hlo_computations(hlo_text: str) -> dict:
+    """{computation_name: [op dicts]} with per-op name/type/opcode/attrs."""
+    comps: dict[str, list] = {}
+    current = None
+    for line in hlo_text.splitlines():
+        header = _COMP_HEADER.match(line)
+        if header and not line.startswith(" "):
+            current = header.group(1)
+            comps[current] = []
+            continue
+        if current is None:
+            continue
+        if line.startswith("}"):
+            current = None
+            continue
+        op = _split_op_line(line)
+        if op:
+            comps[current].append(op)
+    return comps
+
+
+def _ref_comp(line: str, key: str) -> Optional[str]:
+    m = _re.search(key + r"=%?([\w\.\-]+)", line)
+    return m.group(1) if m else None
+
+
+def _operand_names(op: dict) -> list[str]:
+    return _re.findall(r"%([\w\.\-]+)", op["operands"])
+
+
+def _while_trip_count(op: dict, comps: dict) -> Optional[int]:
+    """Trip count of a while op. CPU HLO records it as backend_config
+    known_trip_count; TPU HLO does not, but jax scans/fori lower to a
+    canonical 0-init step-1 induction with a `compare(i, constant(N)),
+    direction=LT` ROOT in the condition — so N is the trip count. Returns
+    None when neither pattern matches (no correction, conservative)."""
+    trip = _TRIP.search(op["attrs"])
+    if trip:
+        return int(trip.group(1))
+    cond = _ref_comp(op["attrs"], "condition")
+    if cond is None:
+        return None
+    constants = {}
+    for cop in comps.get(cond, []):
+        if cop["opcode"] == "constant":
+            m = _re.search(r"constant\((\d+)\)", cop["line"])
+            if m:
+                constants[cop["name"]] = int(m.group(1))
+        if cop["opcode"] == "compare" and "direction=LT" in cop["attrs"]:
+            operands = _operand_names(cop)
+            if len(operands) == 2 and operands[1] in constants:
+                return constants[operands[1]]
+    return None
+
+
+def _op_flops(op: dict, shapes: dict) -> float:
+    """dot / convolution FLOPs from HLO shapes (2 * madds)."""
+    out_shapes = _shape_dims(op["type"])
+    if not out_shapes:
+        return 0.0
+    out_elems = 1.0
+    for d in out_shapes[0]:
+        out_elems *= d
+    operands = _operand_names(op)
+    if op["opcode"] == "dot":
+        lhs = shapes.get(operands[0]) if operands else None
+        m = _re.search(r"lhs_contracting_dims={([\d,]*)}", op["attrs"])
+        if lhs is None or m is None:
+            return 0.0
+        k = 1.0
+        for d in (int(x) for x in m.group(1).split(",") if x):
+            if d < len(lhs):
+                k *= lhs[d]
+        return 2.0 * out_elems * k
+    if op["opcode"] == "convolution":
+        kernel = shapes.get(operands[1]) if len(operands) > 1 else None
+        m = _re.search(r"dim_labels=[\w?]+_([\w?]+)->", op["attrs"])
+        if kernel is None or m is None:
+            return 0.0
+        klabels = m.group(1)
+        if len(klabels) != len(kernel):
+            return 0.0
+        k = 1.0
+        for label, dim in zip(klabels, kernel):
+            if label.isdigit() or label == "i":
+                k *= dim
+        return 2.0 * out_elems * k
+    return 0.0
+
+
+def _comp_flops(name: str, comps: dict, memo: dict) -> float:
+    """dot+conv FLOPs of one computation, recursing through fusion/call
+    bodies and weighting nested whiles by their own trip counts."""
+    if name in memo:
+        return memo[name]
+    memo[name] = 0.0  # break cycles defensively
+    ops = comps.get(name, [])
+    shapes = {}
+    for op in ops:
+        arr = _shape_dims(op["type"])
+        if len(arr) == 1:
+            shapes[op["name"]] = arr[0]
+    total = 0.0
+    for op in ops:
+        code = op["opcode"]
+        if code in ("dot", "convolution"):
+            total += _op_flops(op, shapes)
+        elif code == "fusion":
+            callee = _ref_comp(op["attrs"], "calls")
+            if callee:
+                total += _comp_flops(callee, comps, memo)
+        elif code in ("call", "custom-call", "map", "reduce",
+                      "reduce-window", "scatter", "sort", "all-reduce"):
+            callee = _ref_comp(op["attrs"], "to_apply")
+            if callee:
+                total += _comp_flops(callee, comps, memo)
+        elif code == "while":
+            body = _ref_comp(op["attrs"], "body")
+            n = _while_trip_count(op, comps) or 1
+            if body:
+                total += n * _comp_flops(body, comps, memo)
+    memo[name] = total
+    return total
+
+
+def scan_flops_undercount(hlo_text: str) -> float:
+    """Total FLOPs XLA's cost model misses by counting each while body
+    once: sum over whiles of (trip_count - 1) x body dot/conv FLOPs.
+    Nested whiles inside a body are weighted by their own trip counts."""
+    comps = _parse_hlo_computations(hlo_text)
+    memo: dict = {}
+    missing = 0.0
+    for name, ops in comps.items():
+        for op in ops:
+            if op["opcode"] != "while":
+                continue
+            body = _ref_comp(op["attrs"], "body")
+            n = _while_trip_count(op, comps)
+            if body is None or n is None:
+                continue
+            if n > 1:
+                missing += (n - 1) * _comp_flops(body, comps, memo)
+    return missing
+
+
+def compiled_flops_corrected(jitted, *args, **kwargs
+                             ) -> tuple[Optional[float], Optional[float]]:
+    """(corrected, xla_costmodel) FLOPs per call: XLA's aggregate plus the
+    scan-body undercount. The corrected figure is the honest numerator for
+    train MFU on scan-based models (VERDICT r3 item 5); the raw cost-model
+    number is kept for continuity with earlier rounds."""
+    compiled = jitted.lower(*args, **kwargs).compile()
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0] if analysis else {}
+    reported = float(analysis.get("flops", 0.0)) or None
+    if reported is None:
+        return None, None
+    try:
+        correction = scan_flops_undercount(compiled.as_text())
+    except Exception:  # HLO text unavailable/unparseable: no correction
+        correction = 0.0
+    return reported + correction, reported
