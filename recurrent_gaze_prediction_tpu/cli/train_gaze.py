@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_steps", default=0, type=int,
                         help="capture a device trace of N train steps into "
                              "{train_dir}/profile (TensorBoard-viewable)")
+    parser.add_argument("--data_parallel", default=1, type=int,
+                        help="shard the batch over this many devices "
+                             "(data axis of the mesh); the whole fit loop "
+                             "— train step, cadences, checkpoint restore — "
+                             "runs sharded. -1 = all devices")
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="shard the wide FC / projection weights over "
+                             "this many devices (model axis)")
     return parser
 
 
@@ -153,6 +161,16 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     writer = MetricWriter(exp.train_dir) if exp.train_dir else None
 
+    # Mesh-sharded training (reference regime scaled out; the reference's
+    # only "parallelism" was gpu_fraction co-tenancy, train_gaze.py:31-35)
+    mesh = None
+    if args.data_parallel != 1 or args.model_parallel != 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel,
+                         model_parallel=args.model_parallel)
+        log.infov("mesh: %s", dict(mesh.shape))
+
     # Prefetch training batches on a worker thread, casting the two big
     # streams (c3d ~236 MB, frames ~135 MB per fp32 batch-28) to the
     # compute dtype HOST-side first — on transfer-bound hosts the wire
@@ -166,24 +184,38 @@ def main(argv: Optional[list[str]] = None) -> int:
         cast = None
         if model.cfg.compute_dtype == "bfloat16":
             cast = {"frames": jnp.bfloat16, "c3d": jnp.bfloat16}
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel import DATA_AXIS
+
+            sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
         # max_batches is an upper bound; checkpoint resume happens inside
         # fit(), which simply stops consuming at max_steps — the small
         # prefetch queue bounds any over-production
         train_iter = prefetch_batches(data.train, model.cfg.batch_size,
-                                      cast=cast,
+                                      cast=cast, sharding=sharding,
                                       max_batches=exp.schedule.max_steps)
 
     log.warn("Start fitting ...")
     state = fit(model, state, tx, data, exp, train_dir=exp.train_dir,
                 metric_writer=writer, profile_steps=args.profile_steps,
-                train_iterator=train_iter)
+                train_iterator=train_iter, mesh=mesh,
+                model_parallel=(args.model_parallel > 1) if mesh else None)
 
     if data.test is not None and len(data.test) >= model.cfg.batch_size:
         log.warn("Final test-split evaluation ...")
-        predict = make_predict_fn(model)
+        if mesh is not None:
+            from ..parallel import make_sharded_predict
+
+            predict = make_sharded_predict(
+                model, mesh, model_parallel=args.model_parallel > 1)
+        else:
+            predict = make_predict_fn(model)
         _, scores = evaluator.generate_and_evaluate(
             predict, state.params, data.test, model.cfg.batch_size,
-            max_instances=None,
+            max_instances=None, mesh=mesh,
             input_cast=(jnp.bfloat16 if model.cfg.compute_dtype ==
                         "bfloat16" else None))
         if writer:

@@ -32,6 +32,15 @@ def _state_shardings(state: TrainState, mesh: Mesh,
                       step=NamedSharding(mesh, P()))
 
 
+def state_shardings(state: TrainState, mesh: Mesh,
+                    model_parallel: Optional[bool] = None) -> TrainState:
+    """NamedSharding pytree for a TrainState (params per the model-parallel
+    rules, optimizer state mirroring them, step replicated). Public so the
+    train loop can restore checkpoints DIRECTLY onto a mesh (cross-mesh
+    resume: pass these as the sharding of the abstract restore target)."""
+    return _state_shardings(state, mesh, model_parallel)
+
+
 def place_state(state: TrainState, mesh: Mesh,
                 model_parallel: Optional[bool] = None) -> TrainState:
     """Device-put the train state according to the mesh layout."""

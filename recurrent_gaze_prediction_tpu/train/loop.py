@@ -32,11 +32,13 @@ from .state import (
 )
 
 
-def _device_batch(batch: dict, input_cast=None) -> dict:
+def _device_batch(batch: dict, input_cast=None, sharding=None) -> dict:
     """Transfer a host batch; `input_cast` optionally casts the two big
     input streams (frames/c3d) HOST-side first — on transfer-bound hosts
     the fp32 wire bytes dominate (BENCHMARKS.md); the models cast inputs
-    to their compute dtype in-graph anyway. Loss targets stay fp32."""
+    to their compute dtype in-graph anyway. Loss targets stay fp32.
+    `sharding` (a NamedSharding) places the batch dim over the mesh's
+    data axis instead of the default device."""
     out = {}
     for k, v in batch.items():
         if k == "clipnames":
@@ -49,7 +51,8 @@ def _device_batch(batch: dict, input_cast=None) -> dict:
             continue
         if input_cast is not None and k in ("frames", "c3d"):
             v = np.asarray(v).astype(input_cast)
-        out[k] = jnp.asarray(v)
+        out[k] = (jax.device_put(np.asarray(v), sharding)
+                  if sharding is not None else jnp.asarray(v))
     return out
 
 
@@ -60,7 +63,9 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         max_eval_instances: int = 50,
         train_iterator=None,
         profile_steps: int = 0,
-        profile_start: int = 3) -> TrainState:
+        profile_start: int = 3,
+        mesh=None,
+        model_parallel: Optional[bool] = None) -> TrainState:
     """Train until `exp.schedule.max_steps`. Returns the final state.
 
     `train_iterator` (optional) supplies training batches instead of
@@ -72,28 +77,77 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     that many train steps into `{train_dir}/profile`, starting at
     `profile_start` (after the compile step) — the reference's only
     instrumentation was wall-clock logs (SURVEY.md section 5).
+
+    `mesh` (a jax.sharding.Mesh with a "data" axis) runs the WHOLE loop
+    sharded: the train step partitioned over the mesh (gradients psum
+    over "data"), batches placed batch-dim-sharded, validation/eval
+    cadences fed sharded arrays, and checkpoints restored DIRECTLY onto
+    the mesh layout — so a run saved under one topology resumes under
+    another (cross-mesh elasticity; orbax re-shards on load when the
+    abstract target carries shardings). `model_parallel` adds the wide-FC
+    "model"-axis sharding rules on top (parallel/mesh.param_spec).
     """
     sched_cfg = exp.schedule
     batch_size = model.cfg.batch_size
     rng = jax.random.PRNGKey(exp.seed)
     lr_schedule = build_schedule(exp.optimizer)
 
-    train_step = make_train_step(model, tx,
-                                 accum_steps=exp.optimizer.accum_steps)
-    eval_step = make_eval_step(model)
-    predict_fn = make_predict_fn(model)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel import (DATA_AXIS, make_sharded_predict,
+                                make_sharded_train_step, place_state,
+                                state_shardings)
+
+        if exp.optimizer.accum_steps > 1:
+            raise NotImplementedError(
+                "gradient accumulation + mesh sharding are not composed in "
+                "fit(); shard the batch (data_parallel) OR accumulate, "
+                "not both")
+        if batch_size % mesh.shape[DATA_AXIS] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the data axis "
+                f"({mesh.shape[DATA_AXIS]})")
+        train_step = make_sharded_train_step(model, tx, mesh,
+                                             model_parallel=model_parallel)
+        # eval_step/predict propagate shardings from their (sharded)
+        # operands; predict gets explicit in_shardings so the evaluator's
+        # host-built arrays land batch-sharded too
+        eval_step = make_eval_step(model)
+        predict_fn = make_sharded_predict(model, mesh,
+                                          model_parallel=model_parallel)
+        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        state_sh = state_shardings(state, mesh, model_parallel)
+    else:
+        train_step = make_train_step(model, tx,
+                                     accum_steps=exp.optimizer.accum_steps)
+        eval_step = make_eval_step(model)
+        predict_fn = make_predict_fn(model)
 
     ckpt = None
     if train_dir is not None:
         ckpt = Checkpointer(train_dir)
         ckpt.save_config(exp)
-        restored = ckpt.restore_latest(jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state))
+        if mesh is not None:
+            # abstract target CARRIES the mesh shardings: orbax re-shards
+            # on load, so a checkpoint saved under any other topology
+            # (single device, other mesh shape) restores onto this one
+            abstract = jax.tree_util.tree_map(
+                lambda x, sh: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                                   sharding=sh),
+                state, state_sh)
+        else:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), state)
+        restored = ckpt.restore_latest(abstract)
         if restored is not None:
             state = restored
             log.info(" [Checkpoint] resumed at step %d", int(state.step))
         else:
             log.warn(" [Checkpoint] none found (starting from scratch)")
+    if mesh is not None:
+        state = place_state(state, mesh, model_parallel)
 
     # Preemption safety: a SIGTERM/SIGINT requests a checkpoint-and-exit at
     # the next step boundary (the reference had no fault tolerance at all;
@@ -140,11 +194,16 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             if raw is None:
                 log.warn("train iterator exhausted at step %d", step)
                 break
-            batch = {k: jnp.asarray(v) for k, v in raw.items()
-                     if k != "clipnames"}
+            if batch_sharding is not None:
+                batch = {k: jax.device_put(v, batch_sharding)
+                         for k, v in raw.items() if k != "clipnames"}
+            else:
+                batch = {k: jnp.asarray(v) for k, v in raw.items()
+                         if k != "clipnames"}
         else:
             batch = _device_batch(data.train.next_batch(batch_size),
-                                  input_cast=input_cast)
+                                  input_cast=input_cast,
+                                  sharding=batch_sharding)
         state, metrics = train_step(state, batch, rng)
         # host-side counter: int(metrics["step"]) would block on the
         # device every iteration, serializing dispatch with host batch
@@ -182,7 +241,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         if data.valid is not None and len(data.valid) >= batch_size \
                 and step % sched_cfg.steps_per_validation == 0:
             vbatch = _device_batch(data.valid.next_batch(batch_size),
-                                   input_cast=input_cast)
+                                   input_cast=input_cast,
+                                   sharding=batch_sharding)
             vmetrics = eval_step(state.params, vbatch)
             vloss = float(vmetrics["loss"])
             log.infov(" [val   step %4d] loss: %.5f", step, vloss)
@@ -205,7 +265,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
                 and step % sched_cfg.steps_per_evaluation == 0:
             _, scores = evaluator.generate_and_evaluate(
                 predict_fn, state.params, data.valid, batch_size,
-                max_instances=max_eval_instances, input_cast=input_cast)
+                max_instances=max_eval_instances, input_cast=input_cast,
+                mesh=mesh)
             if metric_writer:
                 metric_writer(step, {f"evaluation/{m}": s
                                      for m, s in scores.items()})

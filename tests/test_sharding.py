@@ -451,3 +451,82 @@ def test_sharded_evaluate_matches_local():
         np.testing.assert_allclose(np.asarray(out_sh[m])[:n],
                                    np.asarray(out_local[m]),
                                    rtol=2e-6, atol=2e-6, err_msg=m)
+
+
+def test_fit_on_mesh_cross_topology_resume(tmp_path):
+    """The feature-fed training workflow (fit + checkpoint/eval cadences)
+    runs SHARDED end to end, and checkpoints cross topologies both ways:
+    save under 1 device -> resume on an 8-device mesh, and save under the
+    mesh -> resume single-device, with identical subsequent losses
+    (VERDICT r3 item 4 — the elasticity path every topology change hits).
+    """
+    import shutil
+
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.train import create_train_state, fit
+
+    def build():
+        exp = ExperimentConfig()
+        exp.model.n_lstm_steps = T
+        exp.model.batch_size = B
+        exp.model.compute_dtype = "float32"
+        exp.model.dim_cnn_proj = 16
+        exp.model.rnn_state_size = 8
+        exp.model.use_flip_batch = False  # layout-independent determinism
+        exp.schedule.steps_per_logprint = 1
+        exp.schedule.steps_per_checkpoint = 1000  # only fit()'s final save
+        exp.schedule.steps_per_validation = 1000
+        exp.schedule.steps_per_evaluation = 1000
+        model = registry.create_model("gaze_grcn77", exp.model)
+        exp.model = model.cfg
+        return exp, model
+
+    def run(train_dir, max_steps, mesh=None):
+        exp, model = build()
+        exp.schedule.max_steps = max_steps
+        data = synthetic.make_splits(
+            n_train=8, n_valid=0, n_test=0, t=T,
+            gazemap_hw=(model.cfg.gazemap_height, model.cfg.gazemap_width))
+        state, tx = create_train_state(model, exp.optimizer,
+                                       jax.random.PRNGKey(0))
+        losses = {}
+
+        def writer(step, metrics):
+            if "loss/train" in metrics:
+                losses[step] = metrics["loss/train"]
+
+        state = fit(model, state, tx, data, exp, train_dir=train_dir,
+                    metric_writer=writer, mesh=mesh)
+        return state, losses
+
+    dir_a = str(tmp_path / "run_a")
+    # phase 1: 3 steps single-device, checkpoint saved by fit()'s final save
+    state, _ = run(dir_a, 3)
+    assert int(state.step) == 3
+    dir_b = str(tmp_path / "run_b")
+    shutil.copytree(dir_a, dir_b)
+
+    # phase 2: single-device checkpoint -> 8-device mesh resume
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    state_mesh, losses_mesh = run(dir_a, 6, mesh=mesh)
+    assert int(state_mesh.step) == 6
+    # the resumed state really is mesh-sharded
+    leaf = jax.tree_util.tree_leaves(state_mesh.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    state_single, losses_single = run(dir_b, 6)
+    assert sorted(losses_mesh) == sorted(losses_single) == [4, 5, 6]
+    for s in (4, 5, 6):
+        np.testing.assert_allclose(losses_mesh[s], losses_single[s],
+                                   rtol=2e-5,
+                                   err_msg=f"resume loss diverged at {s}")
+
+    # phase 3: mesh checkpoint (dir_a now holds step-6 mesh-saved state)
+    # -> single-device resume; control = mesh continuing from its own save
+    state_back, losses_back = run(dir_a, 8)
+    assert int(state_back.step) == 8
+    _, losses_ctrl = run(dir_b, 8, mesh=mesh)
+    for s in (7, 8):
+        np.testing.assert_allclose(losses_back[s], losses_ctrl[s],
+                                   rtol=2e-5,
+                                   err_msg=f"mesh->single diverged at {s}")
