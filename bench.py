@@ -18,8 +18,11 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+import numpy as np
 
 import jax
 
@@ -78,12 +81,65 @@ def bench_inference():
     return frames_per_sec, util
 
 
+def _load_full_pipeline_module():
+    """examples/ is not a package; load the rehearsal module by path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rgp_full_pipeline",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "examples", "full_pipeline.py"))
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def _real_video_batch(b: int = 8, f: int = 160, seed: int = 7):
+    """Synthesize a tiny REAL-VIDEO corpus (MJPG .avi via
+    examples/full_pipeline.synthesize_corpus — moving bar over noise,
+    through a real codec), decode it back, and assemble a
+    [b, f, 128, 171, 3] fp32 0-255 batch. Real decoded content (codec
+    artifacts, structured motion) is what the int8 calibration and
+    accuracy rows must see — uniform noise drives deep-layer activation
+    ranges differently (VERDICT r3 item 6)."""
+    import tempfile
+
+    fp = _load_full_pipeline_module()
+    from recurrent_gaze_prediction_tpu.data import video as video_mod
+
+    with tempfile.TemporaryDirectory() as work:
+        videos_dir, _ = fp.synthesize_corpus(work, seed=seed)
+        clips = []
+        for name in sorted(os.listdir(videos_dir)):
+            frames = [np.asarray(fr, np.float32)
+                      for fr in video_mod.decode_video(
+                          os.path.join(videos_dir, name))]
+            arr = jnp.asarray(np.stack(frames))  # [80, H, W, 3] in 0-255
+            arr = jax.image.resize(arr, (arr.shape[0], 128, 171, 3),
+                                   method="bilinear")
+            clips.append(np.asarray(arr, np.float32))
+    pool = np.stack(clips)  # [n_clips, 80, 128, 171, 3]
+    reps_t = -(-f // pool.shape[1])
+    tiled = np.tile(pool, (1, reps_t, 1, 1, 1))[:, :f]
+    reps_b = -(-b // tiled.shape[0])
+    return np.tile(tiled, (reps_b, 1, 1, 1, 1))[:b]
+
+
 def bench_inference_int8():
     """Fused raw-video inference with the int8-quantized C3D tower
     (`models/quant.py`, reachable via `export_serving --int8` / `serve
     --program fused_int8`): frames/sec on the same shapes as
-    bench_inference, so the two rows are directly comparable."""
+    bench_inference, so the two rows are directly comparable.
+
+    Calibration runs on REAL decoded video windows (the same loader the
+    export CLI's --calib_videos uses), and the row carries its accuracy:
+    `int8_map_corr` = correlation of the int8 and fp32 output maps on the
+    real-video batch (the serving gate is corr >= 0.98,
+    tests/test_quant.py)."""
     from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.cli.export_serving import (
+        _load_calibration_clips,
+    )
     from recurrent_gaze_prediction_tpu.models import c3d, pipeline, quant
 
     b, f = 8, 160
@@ -93,7 +149,18 @@ def bench_inference_int8():
                                        compute_dtype="bfloat16")
     c3d_params = c3d.init_params(jax.random.PRNGKey(0))
     gaze_params = gaze_model.init(jax.random.PRNGKey(1))
-    qparams = quant.quantize_for_pipeline(c3d_params)
+
+    frames_np = _real_video_batch(b, f)
+    import tempfile
+
+    fp = _load_full_pipeline_module()
+    with tempfile.TemporaryDirectory() as work:
+        # a SEPARATE corpus (different seed) calibrates, so the corr row
+        # is not measured on the calibration data itself
+        videos_dir, _ = fp.synthesize_corpus(work, seed=11)
+        calib = _load_calibration_clips(videos_dir, max_windows=8)
+    assert calib is not None, "real-video calibration set failed to decode"
+    qparams = quant.quantize_for_pipeline(c3d_params, calib_clips=calib)
 
     @jax.jit
     def step(qp, gp, frames, eps):
@@ -102,8 +169,21 @@ def bench_inference_int8():
             c3d_forward=lambda p, clips: quant.apply_int8(p, clips))
         return out.mean() * 1e-6
 
-    frames = jax.random.uniform(jax.random.PRNGKey(2),
-                                (b, f, 128, 171, 3), jnp.float32) * 255.0
+    @jax.jit
+    def int8_maps(qp, gp, frames):
+        return pipeline.extract_and_predict(
+            qp, gp, gaze_model, frames,
+            c3d_forward=lambda p, clips: quant.apply_int8(p, clips))
+
+    @jax.jit
+    def fp32_maps(cp, gp, frames):
+        return pipeline.extract_and_predict(cp, gp, gaze_model, frames)
+
+    frames = jnp.asarray(frames_np)
+    ref = np.asarray(fp32_maps(c3d_params, gaze_params, frames), np.float32)
+    got = np.asarray(int8_maps(qparams, gaze_params, frames), np.float32)
+    corr = float(np.corrcoef(ref.ravel(), got.ravel())[0, 1])
+
     eps = jnp.float32(0.0)
     eps = step(qparams, gaze_params, frames, eps)  # compile + warmup
     float(eps)
@@ -114,7 +194,7 @@ def bench_inference_int8():
         eps = step(qparams, gaze_params, frames, eps)
     assert float(eps) != 0.0
     elapsed = time.perf_counter() - start
-    return b * f * n_iters / elapsed
+    return b * f * n_iters / elapsed, corr
 
 
 def bench_fused_train_step(b: int = 8, f: int = 160):
@@ -210,6 +290,152 @@ def bench_train_step(b: int = 16, t: int = 42):
     return step_ms, util, util_xla
 
 
+def bench_streaming(n_chunks: int = 96, tc: int = 105):
+    """Carried-state streaming over ONE long video — the production
+    long-video regime (`extract_map --streaming`, `models/streaming.py`):
+    ~10k frames in Tc=105 chunks (the reference's extract_map unroll
+    length, `models/extract_map.py:65`) with the ConvGRU state carried
+    across chunks on-device. Returns (streaming frames/s, ratio vs the
+    chunked-independent path — the reference regime restarting from
+    zero_state each chunk, `models/gaze_grcn.py:262`).
+
+    Both loops are scalar/state-chained (chunk k+1's input depends on
+    chunk k's output) so the device executes sequentially and relay
+    caching cannot fake the timing. Features live on-device (the regime
+    measures compute, not the host wire)."""
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.models.streaming import (
+        grcn_stream_step,
+        init_stream_state,
+    )
+
+    model = registry.create_model("gaze_grcn", n_lstm_steps=tc,
+                                  batch_size=1, compute_dtype="bfloat16")
+    cfg = model.cfg
+    params = model.init(jax.random.PRNGKey(0))
+    state0 = init_stream_state(1, cfg)
+
+    n_bufs = 8  # distinct feature chunks, cycled — bounded HBM footprint
+    feats = [jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                                (1, tc, 1024, 7, 7), jnp.bfloat16)
+             for i in range(n_bufs)]
+
+    @jax.jit
+    def step_carry(p, s, c, eps):
+        s2, maps = grcn_stream_step(p, s, c + eps, cfg)
+        return s2, maps.astype(jnp.float32).mean() * 1e-6
+
+    @jax.jit
+    def step_indep(p, s0, c, eps):
+        _, maps = grcn_stream_step(p, s0, c + eps, cfg)
+        return maps.astype(jnp.float32).mean() * 1e-6
+
+    def timed(fn_call):
+        eps = jnp.bfloat16(0.0)
+        eps = fn_call(feats[0], eps)  # compile + warmup
+        float(eps)
+        start = time.perf_counter()
+        for i in range(n_chunks):
+            eps = fn_call(feats[i % n_bufs], eps)
+        assert float(eps) != 0.0
+        return time.perf_counter() - start
+
+    carry_state = {"s": state0}
+
+    def carry_call(c, eps):
+        carry_state["s"], out = step_carry(params, carry_state["s"], c, eps)
+        return out
+
+    def indep_call(c, eps):
+        return step_indep(params, state0, c, eps)
+
+    t_carry = timed(carry_call)
+    t_indep = timed(indep_call)
+    fps = n_chunks * tc / t_carry
+    return fps, t_indep / t_carry
+
+
+def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
+                  t: int = 42):
+    """DynamicBatcher under concurrent single-clip load — the serving
+    front-end (`serving/batcher.py`) that replaces the reference's
+    one-clip-at-a-time loop (`models/extract_map.py:221-227`). N client
+    threads each fire sequential single-clip requests (frames+c3d, T=42);
+    reports (batched requests/s, p50 ms, p99 ms, direct requests/s) where
+    direct = the same requests one B=1 predict at a time.
+
+    Latencies here are END-TO-END WALL CLOCK including the host->device
+    transfer of each request's features — that is what a server's client
+    observes — so on a tunneled/relay backend the absolute numbers carry
+    transfer variance; the batched-vs-direct RATIO is the stable signal
+    (one coalesced transfer+dispatch per window vs one per request)."""
+    import threading
+
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.serving.batcher import DynamicBatcher
+
+    max_batch = n_clients
+    model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=1,
+                                  compute_dtype="bfloat16")
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def predict(p, frames, c3d):
+        return model.predict(p, frames, c3d)
+
+    rng = np.random.RandomState(0)
+    frames1 = rng.rand(t, 98, 98, 3).astype(np.float32)
+    c3d1 = rng.rand(t, 1024, 7, 7).astype(np.float32)
+
+    # prewarm every power-of-two bucket the batcher can dispatch, so the
+    # timed section measures serving, not compiles
+    b = 1
+    while b <= max_batch:
+        np.asarray(predict(params, np.stack([frames1] * b),
+                           np.stack([c3d1] * b)))
+        b *= 2
+
+    def predict_np(frames, c3d):
+        return np.asarray(predict(params, frames, c3d))
+
+    # direct path: one request at a time (reference regime)
+    n_direct = 8
+    start = time.perf_counter()
+    for _ in range(n_direct):
+        predict_np(frames1[None], c3d1[None])
+    direct_rps = n_direct / (time.perf_counter() - start)
+
+    latencies = []
+    lat_lock = threading.Lock()
+    with DynamicBatcher(predict_np, max_batch=max_batch,
+                        max_wait_ms=20.0) as batcher:
+        batcher.predict(frames1, c3d1)  # warm the worker path
+
+        def client():
+            for _ in range(requests_per_client):
+                t0 = time.perf_counter()
+                batcher.predict(frames1, c3d1)
+                dt = time.perf_counter() - t0
+                with lat_lock:
+                    latencies.append(dt)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(n_clients)]
+        start = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        elapsed = time.perf_counter() - start
+
+    n_requests = n_clients * requests_per_client
+    rps = n_requests / elapsed
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    p50 = float(lat[len(lat) // 2])
+    p99 = float(lat[min(int(len(lat) * 0.99), len(lat) - 1)])
+    return rps, p50, p99, direct_rps
+
+
 def bench_metric_eval(n: int = 4200, iters: int = 2000):
     """On-device saliency-metric evaluation (sim/cc/AUC_shuffled/AUC_Borji,
     exact closed-form AUCs): frames/sec scored. Replaces the reference's
@@ -282,13 +508,13 @@ def bench_metric_eval(n: int = 4200, iters: int = 2000):
 def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
     try:
-        int8_fps = bench_inference_int8()
+        int8_fps, int8_corr = bench_inference_int8()
     except Exception as e:  # int8 conv unsupported on some backends —
         # but print the cause so a real quant-path regression is not
         # silently reported as "unsupported"
         print(f"# int8 bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
-        int8_fps = None
+        int8_fps, int8_corr = None, None
     train_ms, train_mfu, train_mfu_xla = bench_train_step(16)
     train56_ms, train56_mfu, train56_mfu_xla = bench_train_step(56)
     try:
@@ -303,6 +529,18 @@ def main() -> None:
         print(f"# metric-eval bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         eval_fps = None
+    try:
+        stream_fps, stream_speedup = bench_streaming()
+    except Exception as e:
+        print(f"# streaming bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        stream_fps, stream_speedup = None, None
+    try:
+        serve_rps, serve_p50, serve_p99, serve_direct_rps = bench_serving()
+    except Exception as e:
+        print(f"# serving bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        serve_rps = serve_p50 = serve_p99 = serve_direct_rps = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -310,6 +548,7 @@ def main() -> None:
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
         "mfu": round(infer_mfu, 4) if infer_mfu else None,
         "int8_frames_per_sec": round(int8_fps, 1) if int8_fps else None,
+        "int8_map_corr": round(int8_corr, 4) if int8_corr else None,
         "train_step_ms": round(train_ms, 2),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
         "train_mfu_xla_costmodel": (
@@ -323,6 +562,16 @@ def main() -> None:
             round(fused_train_fps, 1) if fused_train_fps else None),
         "metric_eval_frames_per_sec": (
             round(eval_fps, 0) if eval_fps else None),
+        "streaming_frames_per_sec": (
+            round(stream_fps, 1) if stream_fps else None),
+        "streaming_speedup_vs_independent": (
+            round(stream_speedup, 3) if stream_speedup else None),
+        "serving_requests_per_sec": (
+            round(serve_rps, 2) if serve_rps else None),
+        "serving_p50_ms": round(serve_p50, 1) if serve_p50 else None,
+        "serving_p99_ms": round(serve_p99, 1) if serve_p99 else None,
+        "serving_direct_requests_per_sec": (
+            round(serve_direct_rps, 2) if serve_direct_rps else None),
         "device": jax.devices()[0].device_kind,
     }))
 

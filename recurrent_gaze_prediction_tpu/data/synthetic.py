@@ -68,12 +68,19 @@ def make_clip_windows(n_clips: int, t: int, *, image_hw=(98, 98),
     gazemaps += 1e-4  # keep probability normalization well-defined
 
     # C3D stream: 1024-channel 7x7 maps; a fixed random channel mixture
-    # carries the gaze bump at 7x7 resolution plus noise
+    # carries the gaze bump at 7x7 resolution plus noise. The mixture is
+    # drawn from a FIXED seed independent of `seed`: it plays the role of
+    # the (frozen) C3D feature encoding, which is the SAME network for
+    # every split — per-split mixtures made the corpus learnable but not
+    # generalizable (a model fit on train read channels that are pure
+    # noise on valid; round-4 convergence rehearsal caught it as
+    # negative CC on the held-out split).
     cy7 = traj[..., 0] * 6.0
     cx7 = traj[..., 1] * 6.0
     bump7 = _gaussian_map(7, 7, cy7, cx7, sigma=1.0).astype(np.float32)
-    channel_gain = (rng.rand(1024) < 0.25).astype(np.float32) * \
-        rng.rand(1024).astype(np.float32)
+    enc_rng = np.random.RandomState(1234)
+    channel_gain = (enc_rng.rand(1024) < 0.25).astype(np.float32) * \
+        enc_rng.rand(1024).astype(np.float32)
     c3d = rng.rand(n_clips, t, 1024, 7, 7).astype(np.float32) * 0.1
     c3d += channel_gain[None, None, :, None, None] * bump7[:, :, None, :, :]
 

@@ -1,0 +1,143 @@
+"""Convergence rehearsal: train the flagship gaze_grcn to real saliency
+quality on the learnable synthetic corpus, and (optionally) compare
+training dynamics across compute dtypes.
+
+VERDICT r3 items 2-3: component parity ("matches TF at 1e-5") and step
+speed do not add up to "the framework trains the paper's model" — this
+script supplies that end-to-end evidence. It trains gaze_grcn (xentropy,
+49x49 — the RGP regime, reference defaults B=28/T=42,
+`/root/reference/models/train_gaze.py:74-97`) on the synthetic corpus
+(`data/synthetic.py`, gaze follows a visible moving target) and reports
+the on-device CC / SIM / AUC_Borji / AUC_shuffled curve on a held-out
+split. With `--dtypes bfloat16 float32` it runs BOTH dtypes from the same
+seed and prints the curves side by side — the measured cost of the bf16
+default (PARITY.md "intentional divergences").
+
+    python scripts/convergence_rehearsal.py --steps 600
+    python scripts/convergence_rehearsal.py --steps 600 \
+        --dtypes bfloat16 float32
+
+Emits one JSON line per (dtype, eval point) plus a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_one(dtype: str, args) -> dict:
+    from recurrent_gaze_prediction_tpu import registry
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.data import synthetic
+    from recurrent_gaze_prediction_tpu.eval import evaluator
+    from recurrent_gaze_prediction_tpu.train import (
+        create_train_state,
+        make_predict_fn,
+        make_train_step,
+    )
+
+    exp = ExperimentConfig()
+    # reference training regime: batch 28, Adam 1e-4, decay 0.8 / 500
+    # steps, clip 10, dropout 0.5, flips (models/train_gaze.py:74-97,
+    # models/gaze_rnn.py:436-444)
+    exp.optimizer.initial_learning_rate = args.learning_rate
+    model = registry.create_model(
+        "gaze_grcn", exp.model, n_lstm_steps=args.t, batch_size=args.batch,
+        compute_dtype=dtype,
+        rnn_state_size=args.rnn_state_size, dim_cnn_proj=args.dim_cnn_proj)
+
+    data = synthetic.make_splits(n_train=args.train_clips,
+                                 n_valid=args.valid_clips, n_test=2,
+                                 t=args.t, seed=args.seed)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(args.seed))
+    step = make_train_step(model, tx, donate=True)
+    predict = make_predict_fn(model)
+    input_cast = jnp.bfloat16 if dtype == "bfloat16" else None
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    # Training data lives ON DEVICE for the whole run (the corpus is a few
+    # hundred MB); per-step batches are device-side gathers. Re-shipping a
+    # ~380 MB host batch every step would measure the host wire, not
+    # training — and unsynced async dispatch stages dozens of those
+    # batches in host RAM (measured: >30 GB RSS before this change).
+    dev_train = {}
+    for k in ("frames", "c3d", "gazemaps"):
+        arr = np.asarray(getattr(data.train, k), np.float32)
+        dev_train[k] = jnp.asarray(arr)
+        if k in ("frames", "c3d") and dtype == "bfloat16":
+            # same f32->bf16 cast the prefetch pipeline applies host-side
+            dev_train[k] = dev_train[k].astype(jnp.bfloat16)
+    n_train = dev_train["frames"].shape[0]
+    order_rng = np.random.RandomState(args.seed + 2)
+
+    def eval_now():
+        _, scores = evaluator.generate_and_evaluate(
+            predict, state.params, data.valid, min(args.batch, 8),
+            max_instances=None, input_cast=input_cast)
+        return {k: round(float(v), 4) for k, v in scores.items()}
+
+    curve = []
+    t0 = time.time()
+    order = np.zeros(0, np.int64)
+    for i in range(args.steps):
+        while len(order) < args.batch:
+            order = np.concatenate([order, order_rng.permutation(n_train)])
+        idx = jnp.asarray(order[:args.batch])
+        order = order[args.batch:]
+        batch = {k: v[idx] for k, v in dev_train.items()}
+        state, metrics = step(state, batch, rng)
+        s = i + 1
+        if s % 20 == 0:  # keep the async dispatch queue bounded
+            float(metrics["loss"])
+        if s % args.eval_every == 0 or s == args.steps:
+            loss = float(metrics["loss"])
+            scores = eval_now()
+            point = {"dtype": dtype, "step": s, "loss": round(loss, 4),
+                     **scores}
+            curve.append(point)
+            print(json.dumps(point), flush=True)
+    wall = time.time() - t0
+    final = dict(curve[-1])
+    final["wall_sec"] = round(wall, 1)
+    return final
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=28)
+    p.add_argument("--t", type=int, default=42)
+    p.add_argument("--rnn_state_size", type=int, default=128)
+    p.add_argument("--dim_cnn_proj", type=int, default=512)
+    p.add_argument("--train_clips", type=int, default=56)
+    p.add_argument("--valid_clips", type=int, default=16)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--eval_every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtypes", nargs="+", default=["bfloat16"])
+    args = p.parse_args()
+
+    finals = {}
+    for dtype in args.dtypes:
+        finals[dtype] = run_one(dtype, args)
+    print(json.dumps({"summary": finals}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
