@@ -1013,3 +1013,78 @@ def test_tf_golden_grcn_cascade_whole_network_forward():
                                   jnp.asarray(c3d), train=False))
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5,
                                err_msg="gaze_grcn_cascade whole-network")
+
+
+def test_caffemodel_full_shape_dress_rehearsal(tmp_path):
+    """The FULL Sports-1M layer/shape schedule through the ACTUAL V1
+    protobuf schema (VERDICT r3 item 8): all 8 convs at true shapes
+    ([out,in,3,3,3] blobs) plus fc6-1/fc7-1/fc8-1 at true shapes in the
+    V1-era (1,1,1,out,in) layout, random payload. Asserts
+    `c3d_params_from_caffemodel` ingests every tensor into
+    `models/c3d.py` shapes BIT-EXACTLY (transposes checked against
+    independently computed references) and that the ingested tree runs a
+    conv5b forward. After this, the only untested interop surface is the
+    real artifact itself (not in the container;
+    `extract_C3D_features.py:695-701`)."""
+    pb = _compile_proto(tmp_path, "cafv1full", _CAFFE_PROTO_V1)
+    rng = np.random.RandomState(5)
+
+    conv_payloads = {}
+    fc_payloads = {}
+    net = pb.NetParameter(name="DeepConv3DNet_Sport1M")
+    in_ch = 3
+    for name, out_ch in c3d_model.CONV_LAYERS:
+        w = (rng.randn(out_ch, in_ch, 3, 3, 3) * 0.05).astype(np.float32)
+        b = rng.randn(out_ch).astype(np.float32) * 0.01
+        conv_payloads[name] = (w, b)
+        layer = net.layers.add(name=name)
+        blob = layer.blobs.add()
+        (blob.num, blob.channels, blob.length,
+         blob.height, blob.width) = w.shape
+        blob.data.extend(w.reshape(-1).tolist())
+        blob_b = layer.blobs.add()
+        (blob_b.num, blob_b.channels, blob_b.length,
+         blob_b.height, blob_b.width) = (1, 1, 1, 1, out_ch)
+        blob_b.data.extend(b.tolist())
+        in_ch = out_ch
+    for name, d_in, d_out in c3d_model.FC_LAYERS:
+        w = (rng.randn(d_out, d_in) * 0.01).astype(np.float32)
+        b = rng.randn(d_out).astype(np.float32) * 0.01
+        fc_payloads[name] = (w, b)
+        layer = net.layers.add(name=f"{name}-1")
+        blob = layer.blobs.add()
+        (blob.num, blob.channels, blob.length,
+         blob.height, blob.width) = (1, 1, 1, d_out, d_in)
+        blob.data.extend(w.reshape(-1).tolist())
+        blob_b = layer.blobs.add()
+        (blob_b.num, blob_b.channels, blob_b.length,
+         blob_b.height, blob_b.width) = (1, 1, 1, 1, d_out)
+        blob_b.data.extend(b.tolist())
+
+    path = str(tmp_path / "sports1m_full.caffemodel")
+    open(path, "wb").write(net.SerializeToString())
+
+    params = c3d_params_from_caffemodel(path)
+
+    # every conv ingested bit-exactly: [out,in,d,h,w] -> DHWIO
+    for name, _ in c3d_model.CONV_LAYERS:
+        w, b = conv_payloads[name]
+        np.testing.assert_array_equal(
+            np.asarray(params[f"{name}_w"]),
+            np.transpose(w, (2, 3, 4, 1, 0)), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(params[f"{name}_b"]), b,
+                                      err_msg=name)
+    # every fc ingested bit-exactly: [out,in] -> [in,out]
+    for name, d_in, d_out in c3d_model.FC_LAYERS:
+        w, b = fc_payloads[name]
+        assert params[f"{name}_w"].shape == (d_in, d_out)
+        np.testing.assert_array_equal(np.asarray(params[f"{name}_w"]), w.T,
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(params[f"{name}_b"]), b,
+                                      err_msg=name)
+
+    feats = c3d_model.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                            jnp.ones((1, 16, 112, 112, 3)) * 0.5,
+                            feature_layer="conv5b")
+    assert feats.shape == (1, 2, 7, 7, 512)
+    assert np.isfinite(np.asarray(feats)).all()
