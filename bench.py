@@ -398,6 +398,34 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
     def predict_np(frames, c3d):
         return np.asarray(predict(params, frames, c3d))
 
+    # device-side amortization: what one coalesced B=max_batch dispatch
+    # saves over max_batch B=1 dispatches, inputs DEVICE-RESIDENT and
+    # scalar-chained (pure compute+dispatch, no host wire) — the
+    # batcher's win wherever the request transfer is not the wall
+    fd1 = jnp.asarray(frames1[None])
+    cd1 = jnp.asarray(c3d1[None])
+    fdb = jnp.asarray(np.stack([frames1] * max_batch))
+    cdb = jnp.asarray(np.stack([c3d1] * max_batch))
+
+    @jax.jit
+    def chained(p, frames, c3d, eps):
+        return predict(p, frames + eps, c3d).astype(jnp.float32).mean() \
+            * 1e-6
+
+    def timed_chain(frames_dev, c3d_dev, iters=10):
+        eps = jnp.float32(0.0)
+        eps = chained(params, frames_dev, c3d_dev, eps)
+        float(eps)
+        start = time.perf_counter()
+        for _ in range(iters):
+            eps = chained(params, frames_dev, c3d_dev, eps)
+        assert float(eps) != 0.0
+        return (time.perf_counter() - start) / iters
+
+    t_b1 = timed_chain(fd1, cd1)
+    t_bn = timed_chain(fdb, cdb)
+    device_amortization = (t_b1 * max_batch) / t_bn
+
     # direct path: one request at a time (reference regime)
     n_direct = 8
     start = time.perf_counter()
@@ -433,7 +461,7 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
     lat = np.sort(np.asarray(latencies)) * 1e3
     p50 = float(lat[len(lat) // 2])
     p99 = float(lat[min(int(len(lat) * 0.99), len(lat) - 1)])
-    return rps, p50, p99, direct_rps
+    return rps, p50, p99, direct_rps, device_amortization
 
 
 def bench_metric_eval(n: int = 4200, iters: int = 2000):
@@ -536,11 +564,13 @@ def main() -> None:
               file=sys.stderr)
         stream_fps, stream_speedup = None, None
     try:
-        serve_rps, serve_p50, serve_p99, serve_direct_rps = bench_serving()
+        (serve_rps, serve_p50, serve_p99, serve_direct_rps,
+         serve_amort) = bench_serving()
     except Exception as e:
         print(f"# serving bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         serve_rps = serve_p50 = serve_p99 = serve_direct_rps = None
+        serve_amort = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -572,6 +602,8 @@ def main() -> None:
         "serving_p99_ms": round(serve_p99, 1) if serve_p99 else None,
         "serving_direct_requests_per_sec": (
             round(serve_direct_rps, 2) if serve_direct_rps else None),
+        "serving_batch_device_amortization": (
+            round(serve_amort, 2) if serve_amort else None),
         "device": jax.devices()[0].device_kind,
     }))
 
