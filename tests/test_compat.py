@@ -1088,3 +1088,78 @@ def test_caffemodel_full_shape_dress_rehearsal(tmp_path):
                             feature_layer="conv5b")
     assert feats.shape == (1, 2, 7, 7, 512)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_tf_golden_rnn_whole_network_forward():
+    """The third composition family: gaze_rnn (`/root/reference/models/
+    gaze_rnn.py:211-360`) end to end vs raw TF2 ops — ShallowNet frame
+    branch (computed, unused downstream per the reference's commented-out
+    concat :330-336), 1024->32 projection, flat GRUCell with the 1617
+    state (7*7*32 + 7*7), per-step FC to the 2401 logits. Pins BOTH the
+    ShallowNet branch maps and the final logits at fp32."""
+    b, t = 2, 6
+    model = registry.create_model("gaze_rnn", n_lstm_steps=t, batch_size=b,
+                                  compute_dtype="float32")
+    rng = np.random.RandomState(31)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+
+    frames = rng.rand(b, t, 98, 98, 3).astype(np.float32)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    sn = params["shallownet"]
+
+    # ---- ShallowNet branch (saliency_shallownet.py:74-216), folded B*T
+    x = tf.constant(frames.reshape(-1, 98, 98, 3))
+    x = tf.nn.relu(tf.nn.conv2d(x, sn["conv1_w"], 1, "VALID")
+                   + sn["conv1_b"])
+    x = tf.nn.max_pool2d(x, 2, 2, "SAME")
+    x = tf.nn.relu(tf.nn.conv2d(x, sn["conv2_w"], 1, "VALID")
+                   + sn["conv2_b"])
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+    x = tf.nn.relu(tf.nn.conv2d(x, sn["conv3_w"], 1, "VALID")
+                   + sn["conv3_b"])
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+    x = tf.reshape(x, (b * t, -1))
+    x = tf.nn.relu(tf.matmul(x, sn["fc1_w"]) + sn["fc1_b"])
+    x = _tf_maxout2(x)
+    x = tf.nn.relu(tf.matmul(x, sn["fc2_w"]) + sn["fc2_b"])
+    x = _tf_maxout2(x)
+    tf_frm_sal = tf.reshape(x, (b, t, 49, 49)).numpy()
+
+    # ---- c3d proj + flat GRU over T + per-step output FC
+    emb = tf.matmul(
+        tf.reshape(tf.transpose(tf.constant(c3d), [0, 1, 3, 4, 2]),
+                   [-1, 1024]),
+        params["c3d_proj"]["proj_c3d_W"]) + params["c3d_proj"]["proj_c3d_b"]
+    emb = tf.reshape(emb, [b, t, 7 * 7 * 32])
+
+    cell = params["cell"]
+    units = cell["candidate_kernel"].shape[1]
+    h = tf.zeros((b, units), tf.float32)
+    logits = []
+    for i in range(t):
+        xi = emb[:, i]
+        gates = tf.sigmoid(
+            tf.matmul(tf.concat([xi, h], 1), cell["gates_kernel"])
+            + cell["gates_bias"])
+        r, u = tf.split(gates, 2, axis=1)
+        cand = tf.tanh(
+            tf.matmul(tf.concat([xi, r * h], 1), cell["candidate_kernel"])
+            + cell["candidate_bias"])
+        h = u * h + (1.0 - u) * cand
+        out = tf.matmul(h, params["proj_out_W"]) + params["proj_out_b"]
+        logits.append(tf.reshape(out, [b, 49, 49]))
+    expected = tf.transpose(tf.stack(logits), [1, 0, 2, 3]).numpy()
+
+    from recurrent_gaze_prediction_tpu.models import gaze_rnn
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    net = {}
+    ours = np.asarray(gaze_rnn.apply(jparams, jnp.asarray(frames),
+                                     jnp.asarray(c3d), model.cfg,
+                                     train=False, net=net))
+    np.testing.assert_allclose(np.asarray(net["frm_sal"]), tf_frm_sal,
+                               rtol=1e-4, atol=1e-5,
+                               err_msg="gaze_rnn ShallowNet branch")
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_rnn whole-network logits")
