@@ -530,3 +530,46 @@ def test_fit_on_mesh_cross_topology_resume(tmp_path):
         np.testing.assert_allclose(losses_back[s], losses_ctrl[s],
                                    rtol=2e-5,
                                    err_msg=f"mesh->single diverged at {s}")
+
+
+def test_fit_on_mesh_runs_validation_and_eval_cadences(tmp_path):
+    """The sharded fit() loop's validation + on-device-evaluation cadences
+    run against sharded state/batches (eval_step inherits shardings from
+    its operands; generate_and_evaluate gets the mesh for sharded metric
+    scoring) — the cadences, not just the train step, hold on a mesh."""
+    from recurrent_gaze_prediction_tpu.config import ExperimentConfig
+    from recurrent_gaze_prediction_tpu.train import create_train_state, fit
+
+    exp = ExperimentConfig()
+    exp.model.n_lstm_steps = T
+    exp.model.batch_size = B
+    exp.model.compute_dtype = "float32"
+    exp.model.dim_cnn_proj = 16
+    exp.model.rnn_state_size = 8
+    exp.schedule.max_steps = 4
+    exp.schedule.steps_per_logprint = 2
+    exp.schedule.steps_per_validation = 2
+    exp.schedule.steps_per_evaluation = 4
+    exp.schedule.steps_per_checkpoint = 1000
+    model = registry.create_model("gaze_grcn77", exp.model)
+    exp.model = model.cfg
+    data = synthetic.make_splits(n_train=8, n_valid=8, n_test=0, t=T,
+                                 gazemap_hw=(7, 7))
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+
+    seen = {}
+
+    def writer(step, metrics):
+        seen.setdefault(step, {}).update(metrics)
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    state = fit(model, state, tx, data, exp,
+                train_dir=str(tmp_path / "run"), metric_writer=writer,
+                mesh=mesh, model_parallel=True)
+    assert int(state.step) == 4
+    flat = {k for step_metrics in seen.values() for k in step_metrics}
+    assert "loss/val" in flat, seen          # validation cadence ran
+    assert any(k.startswith("evaluation/") for k in flat), seen
+    vals = [m["loss/val"] for m in seen.values() if "loss/val" in m]
+    assert all(np.isfinite(v) for v in vals), seen
