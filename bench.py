@@ -320,18 +320,23 @@ def bench_streaming(n_chunks: int = 96, tc: int = 105):
                                 (1, tc, 1024, 7, 7), jnp.bfloat16)
              for i in range(n_bufs)]
 
+    # eps is float32 end-to-end (the steps return an f32 mean); casting it
+    # to the chunk dtype IN-GRAPH keeps the recurrence bf16 while the
+    # chained carry keeps its one signature — a bf16 warmup eps would make
+    # the first timed call a NEW signature (bf16+f32 promotes to f32) and
+    # hide a full retrace+recompile inside the timing window
     @jax.jit
     def step_carry(p, s, c, eps):
-        s2, maps = grcn_stream_step(p, s, c + eps, cfg)
+        s2, maps = grcn_stream_step(p, s, c + eps.astype(c.dtype), cfg)
         return s2, maps.astype(jnp.float32).mean() * 1e-6
 
     @jax.jit
     def step_indep(p, s0, c, eps):
-        _, maps = grcn_stream_step(p, s0, c + eps, cfg)
+        _, maps = grcn_stream_step(p, s0, c + eps.astype(c.dtype), cfg)
         return maps.astype(jnp.float32).mean() * 1e-6
 
     def timed(fn_call):
-        eps = jnp.bfloat16(0.0)
+        eps = jnp.float32(0.0)
         eps = fn_call(feats[0], eps)  # compile + warmup
         float(eps)
         start = time.perf_counter()
@@ -537,9 +542,10 @@ def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
     try:
         int8_fps, int8_corr = bench_inference_int8()
-    except Exception as e:  # int8 conv unsupported on some backends —
-        # but print the cause so a real quant-path regression is not
-        # silently reported as "unsupported"
+    except (Exception, SystemExit) as e:  # int8 conv unsupported on some
+        # backends; SystemExit because synthesize_corpus sys.exits when
+        # OpenCV is missing — either way print the cause so a real
+        # quant-path regression is not silently reported as "unsupported"
         print(f"# int8 bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         int8_fps, int8_corr = None, None

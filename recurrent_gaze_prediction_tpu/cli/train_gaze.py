@@ -186,11 +186,11 @@ def main(argv: Optional[list[str]] = None) -> int:
             cast = {"frames": jnp.bfloat16, "c3d": jnp.bfloat16}
         sharding = None
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.sharding import NamedSharding
 
-            from ..parallel import DATA_AXIS
+            from ..parallel import batch_spec
 
-            sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            sharding = NamedSharding(mesh, batch_spec())
         # max_batches is an upper bound; checkpoint resume happens inside
         # fit(), which simply stops consuming at max_steps — the small
         # prefetch queue bounds any over-production

@@ -20,6 +20,26 @@ from ..train.state import TrainState, flip_half_batch
 from .mesh import DATA_AXIS, batch_spec, params_shardings
 
 
+def _pad_batch_dim(arrays, n_data: int):
+    """Zero-pad each array's leading (batch) dim up to a multiple of the
+    mesh data axis — jit in_shardings reject a non-divisible dim, and tail
+    batches (dataset size % batch_size, eval max_instances) are routinely
+    short. Returns (padded_arrays, original_batch). Pads host-side for
+    NumPy inputs (no extra transfer) and device-side for jax.Arrays."""
+    import numpy as np
+
+    b = arrays[0].shape[0]
+    pad = (-b) % n_data
+    if pad == 0:
+        return arrays, b
+    out = []
+    for x in arrays:
+        xp = jax.numpy if isinstance(x, jax.Array) else np
+        out.append(xp.concatenate(
+            [x, xp.zeros((pad, *x.shape[1:]), dtype=x.dtype)]))
+    return out, b
+
+
 def _state_shardings(state: TrainState, mesh: Mesh,
                      model_parallel: Optional[bool] = None) -> TrainState:
     param_sh = params_shardings(state.params, mesh, model_parallel)
@@ -147,6 +167,7 @@ def make_sharded_fused_predict(gaze_model: GazeModel, mesh: Mesh, *,
 
     cdt = jnp.bfloat16 if compute_dtype is None else compute_dtype
     batch_sh = NamedSharding(mesh, batch_spec())
+    n_data = mesh.shape[DATA_AXIS]
     cache: dict = {}
 
     def wrapper(c3d_params, gaze_params, video_frames):
@@ -163,7 +184,9 @@ def make_sharded_fused_predict(gaze_model: GazeModel, mesh: Mesh, *,
                 out_shardings=batch_sh,
             )
             cache[key] = jitted
-        return jitted(c3d_params, gaze_params, video_frames)
+        (video_frames,), b = _pad_batch_dim((video_frames,), n_data)
+        out = jitted(c3d_params, gaze_params, video_frames)
+        return out[:b] if out.shape[0] != b else out
 
     return wrapper
 
@@ -265,6 +288,7 @@ def make_sharded_predict(model: GazeModel, mesh: Mesh, *,
     `extract_map.py`-style path, with batch over "data"."""
     batch_sh = NamedSharding(mesh, batch_spec())
     repl = NamedSharding(mesh, P())
+    n_data = mesh.shape[DATA_AXIS]
 
     def predict_fn(params, frames, c3d):
         return model.predict(params, frames, c3d)
@@ -282,7 +306,9 @@ def make_sharded_predict(model: GazeModel, mesh: Mesh, *,
                 out_shardings=batch_sh,
             )
             cache[key] = jitted
-        return jitted(params, frames, c3d)
+        (frames, c3d), b = _pad_batch_dim((frames, c3d), n_data)
+        out = jitted(params, frames, c3d)
+        return out[:b] if out.shape[0] != b else out
 
     return wrapper
 

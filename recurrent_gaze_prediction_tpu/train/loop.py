@@ -93,12 +93,13 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     lr_schedule = build_schedule(exp.optimizer)
 
     batch_sharding = None
+    shard_fn = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding
 
-        from ..parallel import (DATA_AXIS, make_sharded_predict,
+        from ..parallel import (DATA_AXIS, batch_spec, make_sharded_predict,
                                 make_sharded_train_step, place_state,
-                                state_shardings)
+                                shard_batch, state_shardings)
 
         if exp.optimizer.accum_steps > 1:
             raise NotImplementedError(
@@ -107,8 +108,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
                 "not both")
         if batch_size % mesh.shape[DATA_AXIS] != 0:
             raise ValueError(
-                f"batch_size {batch_size} must divide the data axis "
-                f"({mesh.shape[DATA_AXIS]})")
+                f"batch_size {batch_size} must be divisible by the mesh "
+                f"data axis ({mesh.shape[DATA_AXIS]})")
         train_step = make_sharded_train_step(model, tx, mesh,
                                              model_parallel=model_parallel)
         # eval_step/predict propagate shardings from their (sharded)
@@ -117,7 +118,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
         eval_step = make_eval_step(model)
         predict_fn = make_sharded_predict(model, mesh,
                                           model_parallel=model_parallel)
-        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        batch_sharding = NamedSharding(mesh, batch_spec())
+        shard_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
         state_sh = state_shardings(state, mesh, model_parallel)
     else:
         train_step = make_train_step(model, tx,
@@ -194,9 +196,8 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
             if raw is None:
                 log.warn("train iterator exhausted at step %d", step)
                 break
-            if batch_sharding is not None:
-                batch = {k: jax.device_put(v, batch_sharding)
-                         for k, v in raw.items() if k != "clipnames"}
+            if shard_fn is not None:
+                batch = shard_fn(raw)
             else:
                 batch = {k: jnp.asarray(v) for k, v in raw.items()
                          if k != "clipnames"}

@@ -156,11 +156,50 @@ def _operand_names(op: dict) -> list[str]:
     return _re.findall(r"%([\w\.\-]+)", op["operands"])
 
 
+def _induction_init(op: dict, comps: dict, induction_name: str,
+                    cond_ops: list) -> int:
+    """Initial value of the while's induction variable, when visible.
+
+    `induction_name` is the compare's LHS in the condition computation;
+    jax lowers scans/fori to `get-tuple-element(param), index=K` there, and
+    the while's init operand is a `tuple(...)` whose K-th element is a
+    constant — fori_loop(start, N) puts `start` there, so the trip count is
+    N - start, not N. Returns 0 when the chain is not resolvable (the
+    canonical scan case and the conservative default)."""
+    m = None
+    for cop in cond_ops:
+        if cop["name"] == induction_name and \
+                cop["opcode"] == "get-tuple-element":
+            m = _re.search(r"index=(\d+)", cop["attrs"])
+            break
+    if m is None:
+        return 0
+    k = int(m.group(1))
+    init_names = _operand_names(op)
+    if not init_names:
+        return 0
+    by_name = {o["name"]: o for ops in comps.values() for o in ops}
+    init_op = by_name.get(init_names[0])
+    if init_op is None or init_op["opcode"] != "tuple":
+        return 0
+    elems = _operand_names(init_op)
+    if k >= len(elems):
+        return 0
+    elem = by_name.get(elems[k])
+    if elem is not None and elem["opcode"] == "constant":
+        m2 = _re.search(r"constant\((\d+)\)", elem["line"])
+        if m2:
+            return int(m2.group(1))
+    return 0
+
+
 def _while_trip_count(op: dict, comps: dict) -> Optional[int]:
     """Trip count of a while op. CPU HLO records it as backend_config
     known_trip_count; TPU HLO does not, but jax scans/fori lower to a
-    canonical 0-init step-1 induction with a `compare(i, constant(N)),
-    direction=LT` ROOT in the condition — so N is the trip count. Returns
+    canonical step-1 induction with a `compare(i, constant(N)),
+    direction=LT` ROOT in the condition — so the trip count is N minus the
+    induction init (0 for scans; fori_loop(start, N) bakes `start` into
+    the while's init tuple, which is subtracted when resolvable). Returns
     None when neither pattern matches (no correction, conservative)."""
     trip = _TRIP.search(op["attrs"])
     if trip:
@@ -168,8 +207,9 @@ def _while_trip_count(op: dict, comps: dict) -> Optional[int]:
     cond = _ref_comp(op["attrs"], "condition")
     if cond is None:
         return None
+    cond_ops = comps.get(cond, [])
     constants = {}
-    for cop in comps.get(cond, []):
+    for cop in cond_ops:
         if cop["opcode"] == "constant":
             m = _re.search(r"constant\((\d+)\)", cop["line"])
             if m:
@@ -177,7 +217,9 @@ def _while_trip_count(op: dict, comps: dict) -> Optional[int]:
         if cop["opcode"] == "compare" and "direction=LT" in cop["attrs"]:
             operands = _operand_names(cop)
             if len(operands) == 2 and operands[1] in constants:
-                return constants[operands[1]]
+                n = constants[operands[1]]
+                start = _induction_init(op, comps, operands[0], cond_ops)
+                return max(n - start, 0)
     return None
 
 

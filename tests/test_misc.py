@@ -290,3 +290,52 @@ ENTRY %main.9 () -> f32[] {
     body_conv = 2 * (16 * 7 * 7 * 256) * (3 * 3 * 128)
     missing = mfu_lib.scan_flops_undercount(hlo)
     assert missing == 41 * body_conv
+
+
+def test_while_trip_count_nonzero_induction_start():
+    """fori_loop(start, N) bakes `start` into the while's init tuple; the
+    trip count is N - start, not N — otherwise scan_flops_undercount
+    inflates the 'corrected' MFU numerator and breaks its documented
+    tight-lower-bound guarantee (round-4 review finding). Same canonical
+    TPU-style HLO as above but init = tuple(constant(2), ...) and
+    limit = 44: trip 42, undercount 41 x body."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    hlo = """HloModule jit_fori, entry_computation_layout={()->f32[]}
+
+%fused_body.1 (p0: bf16[16,7,7,128], p1: bf16[3,3,128,256]) -> bf16[16,7,7,256] {
+  %p0 = bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)} parameter(0)
+  %p1 = bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  ROOT %conv.1 = bf16[16,7,7,256]{3,0,2,1:T(8,128)(2,1)} convolution(%p0, %p1), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f
+}
+
+%body.2 (tup: (s32[], bf16[16,7,7,128], bf16[3,3,128,256])) -> (s32[], bf16[16,7,7,128], bf16[3,3,128,256]) {
+  %tup = (s32[]{:T(128)}, bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)}, /*index=2*/bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)}) parameter(0)
+  %i = s32[]{:T(128)} get-tuple-element(%tup), index=0
+  %h = bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)} get-tuple-element(%tup), index=1
+  %w = bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)} get-tuple-element(%tup), index=2
+  %f = bf16[16,7,7,256]{3,0,2,1:T(8,128)(2,1)} fusion(%h, %w), kind=kOutput, calls=%fused_body.1
+  %one = s32[]{:T(128)} constant(1)
+  %next = s32[]{:T(128)} add(%i, %one)
+  ROOT %out = (s32[]{:T(128)}, bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)}, /*index=2*/bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)}) tuple(%next, %h, %w)
+}
+
+%cond.3 (tup.1: (s32[], bf16[16,7,7,128], bf16[3,3,128,256])) -> pred[] {
+  %limit = s32[]{:T(128)} constant(44)
+  %tup.1 = (s32[]{:T(128)}, bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)}, /*index=2*/bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)}) parameter(0)
+  %iv = s32[]{:T(128)} get-tuple-element(%tup.1), index=0
+  ROOT %lt = pred[]{:T(512)} compare(%iv, %limit), direction=LT
+}
+
+ENTRY %main.9 () -> f32[] {
+  %start = s32[]{:T(128)} constant(2)
+  %h0 = bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)} constant(0)
+  %w0 = bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)} constant(0)
+  %init = (s32[]{:T(128)}, bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)}, /*index=2*/bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)}) tuple(%start, %h0, %w0)
+  %loop = (s32[]{:T(128)}, bf16[16,7,7,128]{3,0,2,1:T(8,128)(2,1)}, /*index=2*/bf16[3,3,128,256]{3,2,1,0:T(8,128)(2,1)}) while(%init), condition=%cond.3, body=%body.2
+  ROOT %r = f32[] constant(0)
+}
+"""
+    body_conv = 2 * (16 * 7 * 7 * 256) * (3 * 3 * 128)
+    missing = mfu_lib.scan_flops_undercount(hlo)
+    assert missing == 41 * body_conv

@@ -573,3 +573,30 @@ def test_fit_on_mesh_runs_validation_and_eval_cadences(tmp_path):
     assert any(k.startswith("evaluation/") for k in flat), seen
     vals = [m["loss/val"] for m in seen.values() if "loss/val" in m]
     assert all(np.isfinite(v) for v in vals), seen
+
+
+def test_sharded_predict_pads_tail_batch():
+    """Tail batches (dataset % batch_size, eval max_instances) have a
+    leading dim that does NOT divide the data axis; jit in_shardings
+    reject that, so make_sharded_predict zero-pads up to a multiple and
+    slices the result (round-4 review finding: the sharded fit() eval
+    cadence crashed on the first short validation batch)."""
+    model, data, state, _ = _setup()
+    batch = data.train.next_batch(B)
+    frames = np.asarray(batch["frames"])[:5]   # 5 % 8 != 0
+    c3d = np.asarray(batch["c3d"])[:5]
+    local = model.predict(state.params, jnp.asarray(frames),
+                          jnp.asarray(c3d))
+
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    predict = make_sharded_predict(model, mesh)
+    sharded = predict(state.params, frames, c3d)
+    assert sharded.shape[0] == 5
+    np.testing.assert_allclose(np.asarray(local), np.asarray(sharded),
+                               rtol=1e-4, atol=1e-6)
+
+    # device-array inputs take the jnp padding path
+    sharded_dev = predict(state.params, jnp.asarray(frames),
+                          jnp.asarray(c3d))
+    np.testing.assert_allclose(np.asarray(sharded_dev),
+                               np.asarray(sharded), rtol=0, atol=0)
