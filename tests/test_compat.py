@@ -822,7 +822,14 @@ def _build_tf_grcn_graph(tfp, c3d, gt_norm, b, t):
         h = u * h + (1.0 - u) * cand
         rcn_outputs.append(h)
 
-    # per-frame decoder (gaze_grcn.py:316-366), dropout off
+    return _tf_decode_and_xent(tfp, rcn_outputs, gt_norm, b, t, units)
+
+
+def _tf_decode_and_xent(tfp, rcn_outputs, gt_norm, b, t, units):
+    """Shared reference decoder + loss oracle: per-frame frozen BN ->
+    3 deconvs -> 12->1 head (gaze_grcn.py:316-366 == gaze_lstm.py:291-345),
+    then sum_t softmax-xent over the flattened 2401 grid / (B*T)
+    (gaze_rnn.py:381-407)."""
     zeros = tf.zeros((units,), tf.float32)
     ones = tf.ones((units,), tf.float32)
     maps = []
@@ -843,8 +850,6 @@ def _build_tf_grcn_graph(tfp, c3d, gt_norm, b, t):
         maps.append(tf.reshape(y, [b, 49, 49]))
     pred = tf.transpose(tf.stack(maps), [1, 0, 2, 3])  # [B,T,49,49]
 
-    # loss (gaze_rnn.py:381-407): per-step softmax-xent over the flattened
-    # 2401 grid, summed, divided by B*T
     loss = 0.0
     for i in range(t):
         logits_flat = tf.reshape(pred[:, i], [b, -1])
@@ -854,6 +859,40 @@ def _build_tf_grcn_graph(tfp, c3d, gt_norm, b, t):
         loss += tf.reduce_sum(xloss)
     loss = loss / float(b * t)
     return pred, loss
+
+
+def _build_tf_lstm_graph(tfp, c3d, gt_norm, b, t):
+    """The full reference gaze_lstm network + xentropy loss in raw TF2 ops.
+
+    Mirrors `create_gazeprediction_network` (gaze_lstm.py:174-355) with
+    dropout off: c3d transpose -> 1024->512 projection -> peephole
+    ConvLSTM over T (cell eqs gaze_lstm.py:103-133; candidate intended
+    W_hc, the reference's W_hi reuse being a documented latent bug,
+    `ops/cells.py:12-19`) -> the same frozen-BN 3-deconv decoder and
+    summed softmax-xent / (B*T) as gaze_grcn.
+    """
+    def c2d(a, k):
+        return tf.nn.conv2d(a, tfp[k], [1, 1, 1, 1], padding="SAME")
+
+    units = int(tfp["W_ci"].shape[-1])
+    x = tf.transpose(c3d, perm=[0, 1, 3, 4, 2])
+    flat = tf.reshape(x, [-1, int(tfp["proj_c3d_W"].shape[0])])
+    emb = tf.matmul(flat, tfp["proj_c3d_W"]) + tfp["proj_c3d_b"]
+    emb = tf.reshape(emb, [b, t, 7, 7, int(tfp["proj_c3d_W"].shape[1])])
+
+    c = tf.zeros((b, 7, 7, units), tf.float32)
+    h = tf.zeros((b, 7, 7, units), tf.float32)
+    rcn_outputs = []
+    for s in range(t):
+        xi = emb[:, s]
+        i = tf.sigmoid(c2d(xi, "W_xi") + c2d(h, "W_hi") + tfp["W_ci"] * c)
+        f = tf.sigmoid(c2d(xi, "W_xf") + c2d(h, "W_hf") + tfp["W_cf"] * c)
+        new_c = f * c + i * tf.tanh(c2d(xi, "W_xc") + c2d(h, "W_hc"))
+        o = tf.sigmoid(c2d(xi, "W_xo") + c2d(h, "W_ho") + tfp["W_co"] * c)
+        c, h = new_c, tf.tanh(new_c) * o
+        rcn_outputs.append(h)
+
+    return _tf_decode_and_xent(tfp, rcn_outputs, gt_norm, b, t, units)
 
 
 def test_tf_golden_grcn_whole_network_forward_loss_and_grads():
@@ -1163,3 +1202,89 @@ def test_tf_golden_rnn_whole_network_forward():
                                err_msg="gaze_rnn ShallowNet branch")
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5,
                                err_msg="gaze_rnn whole-network logits")
+
+
+def test_tf_golden_lstm_whole_network_forward_loss_and_grads():
+    """The fourth composition family: gaze_lstm (`/root/reference/models/
+    gaze_lstm.py:160-355`) end to end vs raw TF2 ops at the reference dims
+    (1024->512 proj, 128-unit peephole ConvLSTM, same 3-deconv decoder as
+    gaze_grcn): forward maps at fp32 <=1e-5 (rtol), loss exact to fp32
+    noise, and dL/dtheta for every one of the 20 parameters <=2e-4 —
+    through the linearized decoder (B*T >= _COMPOSE_MIN_N)."""
+    from recurrent_gaze_prediction_tpu.models.common import _COMPOSE_MIN_N
+
+    b, t = 4, 8
+    assert b * t >= _COMPOSE_MIN_N  # the linearized path must engage
+
+    model = registry.create_model("gaze_lstm", n_lstm_steps=t, batch_size=b,
+                                  compute_dtype="float32")
+    rng = np.random.RandomState(37)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+    params["decoder"]["bn_scale"] = (
+        1.0 + 0.1 * rng.randn(128)).astype(np.float32)
+    params["decoder"]["bn_offset"] = (
+        0.1 * rng.randn(128)).astype(np.float32)
+
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)  # unused by gaze_lstm
+    gt = (rng.rand(b, t, 49, 49).astype(np.float32) + 0.01)
+    gt_norm = gt / gt.sum(axis=(-2, -1), keepdims=True)
+
+    # ---- TF oracle (tracks every parameter for gradients)
+    tfp = {}
+    for k, v in params["c3d_proj"].items():
+        tfp[k] = tf.Variable(v)
+    for k, v in params["cell"].items():
+        tfp[k] = tf.Variable(v)
+    dec = params["decoder"]
+    for k in ("out_W", "out_b", "bn_scale", "bn_offset"):
+        tfp[k] = tf.Variable(np.asarray(dec[k]))
+    for i, k in enumerate(("up1_w", "up2_w", "up3_w"), start=1):
+        tfp[f"up{i}_tf"] = tf.Variable(_jax_to_tf_deconv(dec[k]))
+
+    with tf.GradientTape() as tape:
+        tf_pred, tf_loss = _build_tf_lstm_graph(
+            tfp, tf.constant(c3d), tf.constant(gt_norm), b, t)
+    tf_grads = tape.gradient(tf_loss, tfp)
+
+    # ---- JAX model under test
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    ours = np.asarray(model.apply(jparams, jnp.asarray(frames),
+                                  jnp.asarray(c3d), train=False))
+    np.testing.assert_allclose(ours, tf_pred.numpy(), rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_lstm whole-network forward")
+
+    batch = {"frames": jnp.asarray(frames), "c3d": jnp.asarray(c3d),
+             "gazemaps": jnp.asarray(gt)}
+
+    def loss_fn(p):
+        return model.loss(p, batch, train=False)[0]
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jparams)
+    np.testing.assert_allclose(float(jloss), float(tf_loss),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="gaze_lstm whole-network loss")
+
+    flat_expected = {}
+    for k in params["c3d_proj"]:
+        flat_expected[("c3d_proj", k)] = tf_grads[k].numpy()
+    for k in params["cell"]:
+        flat_expected[("cell", k)] = tf_grads[k].numpy()
+    for k in ("out_W", "out_b", "bn_scale", "bn_offset"):
+        flat_expected[("decoder", k)] = tf_grads[k].numpy()
+    for i, k in enumerate(("up1_w", "up2_w", "up3_w"), start=1):
+        flat_expected[("decoder", k)] = _tf_from_jax_deconv_grad(
+            tf_grads[f"up{i}_tf"].numpy())
+
+    n_checked = 0
+    for (group, k), expected in flat_expected.items():
+        got = np.asarray(jgrads[group][k])
+        # same atol floor rationale as the grcn golden: dL/d(out_b) is
+        # analytically zero under softmax-xent, leaving only fp32 round-off
+        scale = max(np.abs(expected).max(), 5e-3)
+        np.testing.assert_allclose(
+            got, expected, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"gaze_lstm whole-network dL/d{group}.{k}")
+        n_checked += 1
+    assert n_checked == 20  # 2 proj + 11 cell + 7 decoder
