@@ -1288,3 +1288,83 @@ def test_tf_golden_lstm_whole_network_forward_loss_and_grads():
             err_msg=f"gaze_lstm whole-network dL/d{group}.{k}")
         n_checked += 1
     assert n_checked == 20  # 2 proj + 11 cell + 7 decoder
+
+
+def test_tf_golden_grcn77_and_c3d_conv_whole_network_forward():
+    """Forward parity for the two remaining distinct compositions, vs raw
+    TF2 ops. With these, every registered family's composition is anchored:
+    gaze_grcn77 (`/root/reference/models/gaze_grcn77.py:100-218`: proj ->
+    ConvGRU at 7x7 -> per-cell 128->1 FC head, NO decoder) and
+    gaze_c3d_conv (`/root/reference/models/gaze_c3d_conv.py:141-217`:
+    proj straight into the 3-deconv decoder at 512 channels, NO cell, NO
+    batch norm). gaze_rnn77 differs from the anchored gaze_rnn only by
+    the [S, 49] output FC reshape to 7x7, and gaze_framewise_shallownet
+    is the anchored ShallowNet forward applied per frame.
+    """
+    b, t = 2, 5
+    rng = np.random.RandomState(41)
+
+    def tf_proj(c3d, p, width):
+        x = tf.transpose(tf.constant(c3d), perm=[0, 1, 3, 4, 2])
+        emb = (tf.matmul(tf.reshape(x, [-1, 1024]), p["proj_c3d_W"])
+               + p["proj_c3d_b"])
+        return tf.reshape(emb, [b, t, 7, 7, width])
+
+    # ---- gaze_grcn77
+    model77 = registry.create_model("gaze_grcn77", n_lstm_steps=t,
+                                    batch_size=b, compute_dtype="float32")
+    p77 = _scaled_like(model77.init(jax.random.PRNGKey(0)), rng,
+                       _default_scale)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)
+
+    def c2d(a, k):
+        return tf.nn.conv2d(a, k, [1, 1, 1, 1], padding="SAME")
+
+    emb = tf_proj(c3d, p77["c3d_proj"], 512)
+    cell = p77["cell"]
+    h = tf.zeros((b, 7, 7, 128), tf.float32)
+    outs = []
+    for i in range(t):
+        xi = emb[:, i]
+        u = tf.sigmoid(c2d(xi, cell["W_z"]) + c2d(h, cell["U_z"]))
+        r = tf.sigmoid(c2d(xi, cell["W_r"]) + c2d(h, cell["U_r"]))
+        cand = tf.tanh(c2d(xi, cell["W"]) + c2d(r * h, cell["U"]))
+        h = u * h + (1.0 - u) * cand
+        # per-cell FC head (gaze_grcn77.py:183-212), dropout off
+        y = tf.matmul(tf.reshape(h, [-1, 128]), p77["out_W"]) + p77["out_b"]
+        outs.append(tf.reshape(y, [b, 7, 7]))
+    expected77 = tf.transpose(tf.stack(outs), [1, 0, 2, 3]).numpy()
+
+    ours77 = np.asarray(model77.apply(
+        jax.tree_util.tree_map(jnp.asarray, p77), jnp.asarray(frames),
+        jnp.asarray(c3d), train=False))
+    np.testing.assert_allclose(ours77, expected77, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_grcn77 whole-network")
+
+    # ---- gaze_c3d_conv
+    mconv = registry.create_model("gaze_c3d_conv", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32")
+    pcv = _scaled_like(mconv.init(jax.random.PRNGKey(0)), rng,
+                       _default_scale)
+    c3d2 = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+
+    emb2 = tf.reshape(tf_proj(c3d2, pcv["c3d_proj"], 512), [b * t, 7, 7, 512])
+    dec = pcv["decoder"]
+    y = tf.nn.conv2d_transpose(emb2, _jax_to_tf_deconv(dec["up1_w"]),
+                               output_shape=[b * t, 23, 23, 64],
+                               strides=[1, 3, 3, 1], padding="VALID")
+    y = tf.nn.conv2d_transpose(y, _jax_to_tf_deconv(dec["up2_w"]),
+                               output_shape=[b * t, 49, 49, 32],
+                               strides=[1, 2, 2, 1], padding="VALID")
+    y = tf.nn.conv2d_transpose(y, _jax_to_tf_deconv(dec["up3_w"]),
+                               output_shape=[b * t, 49, 49, 12],
+                               strides=[1, 1, 1, 1], padding="SAME")
+    y = tf.matmul(tf.reshape(y, [-1, 12]), dec["out_W"]) + dec["out_b"]
+    expected_cv = tf.reshape(y, [b, t, 49, 49]).numpy()
+
+    ours_cv = np.asarray(mconv.apply(
+        jax.tree_util.tree_map(jnp.asarray, pcv), jnp.asarray(frames),
+        jnp.asarray(c3d2), train=False))
+    np.testing.assert_allclose(ours_cv, expected_cv, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_c3d_conv whole-network")
