@@ -1065,7 +1065,13 @@ def test_caffemodel_full_shape_dress_rehearsal(tmp_path):
     conv5b forward. After this, the only untested interop surface is the
     real artifact itself (not in the container;
     `extract_C3D_features.py:695-701`)."""
-    pb = _compile_proto(tmp_path, "cafv1full", _CAFFE_PROTO_V1)
+    # NOTE: must reuse module name "cafv1" — the proto text declares
+    # `package cafv1;`, and compiling it under a second module name would
+    # register duplicate symbols in the process-wide protobuf descriptor
+    # pool (TypeError) whenever the v1-framing test ran first. The import
+    # is cached by sys.modules, so this either compiles fresh (test run
+    # alone) or reuses the identical generated API (full suite).
+    pb = _compile_proto(tmp_path, "cafv1", _CAFFE_PROTO_V1)
     rng = np.random.RandomState(5)
 
     conv_payloads = {}
