@@ -77,6 +77,13 @@ def apply(params: dict, frames: jax.Array, c3d: jax.Array,
         train=False, compute_dtype=cdt).reshape(b, t, 49, 49)
     if net is not None:
         net["frm_sal"] = frm_sal
+        if (gh, gw) == (7, 7):
+            # the 77 regime downsamples the saliency branch to 7x7 with a
+            # 7x7/stride-7 VALID avg pool (gaze_rnn.py:262-269); kept as
+            # an introspection surface (the RNN concat of frm_sal is
+            # commented out in the reference, so it feeds nothing)
+            net["frm_sal_77"] = frm_sal.reshape(
+                b, t, 7, 7, 7, 7).mean(axis=(3, 5))
 
     embedded = apply_c3d_projection(params["c3d_proj"], c3d, keep_prob=keep,
                                     rng=r_proj, train=train, compute_dtype=cdt)

@@ -113,7 +113,9 @@ def _register_all() -> None:
     register("gaze_pupil_grcn", dict(
         gazemap_height=7, gazemap_width=7, n_lstm_steps=35, batch_size=7,
         dim_cnn_proj=32, rnn_state_size=64,
-        loss_type="xentropy"))(gaze_legacy.build_grcn)
+        # the prototype's gaze loss is l2 on the raw joint logits
+        # (model_gru_rcn.py:135-136), so predictions are the raw maps
+        loss_type="l2"))(gaze_legacy.build_grcn)
     register("gaze_pupil_gru2", dict(
         gazemap_height=7, gazemap_width=7, n_lstm_steps=35, batch_size=7,
         dim_cnn_proj=32, rnn_state_size=128,

@@ -1374,3 +1374,323 @@ def test_tf_golden_grcn77_and_c3d_conv_whole_network_forward():
         jnp.asarray(c3d2), train=False))
     np.testing.assert_allclose(ours_cv, expected_cv, rtol=1e-5, atol=1e-5,
                                err_msg="gaze_c3d_conv whole-network")
+
+
+def test_tf_golden_pupil_grcn_whole_network_forward_loss_and_grads():
+    """Legacy prototype #1: the pupil-head GRU-RCN
+    (`/root/reference/model_gru_rcn.py:95-144`) end to end vs raw TF2 ops —
+    1024->32 projection, ConvGRU over T, ONE joint [7*7*units, 50]
+    projection emitting gaze logits and the pupil scalar together, loss =
+    sum_t [ l2_loss(gaze) + 0.01 * l2_loss(pupil) ] / B (division by batch
+    size ONLY, raw un-normalized gaze targets). Pins the joint logits, the
+    loss, and dL/dtheta for every parameter at fp32."""
+    b, t = 2, 5
+    model = registry.create_model("gaze_pupil_grcn", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32",
+                                  rnn_state_size=16)
+    rng = np.random.RandomState(41)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)  # unused
+    gazemaps = rng.rand(b, t, 7, 7).astype(np.float32)
+    pupils = rng.rand(b, t).astype(np.float32)
+
+    tfp = {}
+    for k, v in params["c3d_proj"].items():
+        tfp[k] = tf.Variable(v)
+    for k, v in params["cell"].items():
+        tfp[k] = tf.Variable(v)
+    tfp["proj_out_W"] = tf.Variable(params["proj_out_W"])
+    tfp["proj_out_b"] = tf.Variable(params["proj_out_b"])
+
+    def c2d(a, k):
+        return tf.nn.conv2d(a, tfp[k], [1, 1, 1, 1], padding="SAME")
+
+    units = params["cell"]["U"].shape[-1]
+    with tf.GradientTape() as tape:
+        emb = tf.matmul(
+            tf.reshape(tf.transpose(tf.constant(c3d), [0, 1, 3, 4, 2]),
+                       [-1, 1024]),
+            tfp["proj_c3d_W"]) + tfp["proj_c3d_b"]
+        emb = tf.reshape(emb, [b, t, 7, 7, -1])
+        h = tf.zeros((b, 7, 7, units), tf.float32)
+        joints = []
+        tf_loss = 0.0
+        for i in range(t):
+            x = emb[:, i]
+            u = tf.sigmoid(c2d(x, "W_z") + c2d(h, "U_z"))
+            r = tf.sigmoid(c2d(x, "W_r") + c2d(h, "U_r"))
+            cand = tf.tanh(c2d(x, "W") + c2d(r * h, "U"))
+            h = u * h + (1.0 - u) * cand
+            joint = tf.matmul(tf.reshape(h, [b, -1]),
+                              tfp["proj_out_W"]) + tfp["proj_out_b"]
+            joints.append(joint)
+            # tf.nn.l2_loss = 0.5 * sum(sq) (model_gru_rcn.py:135-140)
+            gaze_l2 = 0.5 * tf.reduce_sum(
+                tf.square(joint[:, :49]
+                          - tf.reshape(gazemaps[:, i], [b, -1])))
+            pupil_l2 = 0.5 * tf.reduce_sum(
+                tf.square(joint[:, 49] - pupils[:, i]))
+            tf_loss = tf_loss + gaze_l2 + 0.01 * pupil_l2
+        tf_loss = tf_loss / float(b)  # model_gru_rcn.py:144: / B only
+    tf_grads = tape.gradient(tf_loss, tfp)
+    tf_joint = tf.transpose(tf.stack(joints), [1, 0, 2]).numpy()
+
+    from recurrent_gaze_prediction_tpu.models import gaze_legacy
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    ours_joint = np.asarray(gaze_legacy.apply_pupil_grcn(
+        jparams, jnp.asarray(frames), jnp.asarray(c3d), model.cfg,
+        train=False))
+    np.testing.assert_allclose(ours_joint, tf_joint, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_pupil_grcn whole-network joint")
+
+    batch = {"frames": jnp.asarray(frames), "c3d": jnp.asarray(c3d),
+             "gazemaps": jnp.asarray(gazemaps), "pupils": jnp.asarray(pupils)}
+
+    def loss_fn(p):
+        return model.loss(p, batch, train=False)[0]
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jparams)
+    np.testing.assert_allclose(float(jloss), float(tf_loss),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="gaze_pupil_grcn whole-network loss")
+
+    flat_expected = {}
+    for k in params["c3d_proj"]:
+        flat_expected[("c3d_proj", k)] = tf_grads[k].numpy()
+    for k in params["cell"]:
+        flat_expected[("cell", k)] = tf_grads[k].numpy()
+    for k in ("proj_out_W", "proj_out_b"):
+        flat_expected[(k,)] = tf_grads[k].numpy()
+
+    n_checked = 0
+    for path, expected in flat_expected.items():
+        got = jgrads
+        for key in path:
+            got = got[key]
+        got = np.asarray(got)
+        scale = max(np.abs(expected).max(), 5e-3)
+        np.testing.assert_allclose(
+            got, expected, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"gaze_pupil_grcn dL/d{'.'.join(path)}")
+        n_checked += 1
+    assert n_checked == 10  # 2 proj + 6 cell + 2 joint head
+
+
+def test_tf_golden_pupil_gru2_whole_network_forward_loss_and_grads():
+    """Legacy prototype #2: the teacher-forced 2-layer GRU
+    (`/root/reference/model_2layer_gru.py:42-98`) end to end vs raw TF2
+    ops — 1024->32 projection, per-step input = [c3d embedding | embedding
+    of the PREVIOUS step's ground-truth joint target through the TIED
+    inverse projection transpose(proj_out_W) (model_2layer_gru.py:50,
+    80-82)], flat GRU, joint [49 gaze | 1 pupil] head, loss = sum_t
+    [ softmax-xent(gaze) + 0.5 * l2_loss(pupil) ] / B. The gradient check
+    covers the tie: dL/d(proj_out_W) must include the feedback-embedding
+    path's contribution through the transpose."""
+    b, t = 2, 5
+    model = registry.create_model("gaze_pupil_gru2", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32",
+                                  rnn_state_size=24)
+    rng = np.random.RandomState(43)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    frames = np.zeros((b, t, 98, 98, 3), np.float32)  # unused
+    gazemaps = (rng.rand(b, t, 7, 7).astype(np.float32) + 0.01)
+    pupils = rng.rand(b, t).astype(np.float32)
+    gt_norm = gazemaps / gazemaps.sum(axis=(-2, -1), keepdims=True)
+    # the per-step joint target [gaze flat | pupil], as the loss builds it
+    targets = np.concatenate(
+        [gt_norm.reshape(b, t, 49), pupils[..., None]], axis=-1)
+
+    tfp = {}
+    for k, v in params["c3d_proj"].items():
+        tfp[k] = tf.Variable(v)
+    for k, v in params["cell"].items():
+        tfp[k] = tf.Variable(v)
+    tfp["proj_out_W"] = tf.Variable(params["proj_out_W"])
+    tfp["proj_out_b"] = tf.Variable(params["proj_out_b"])
+
+    state = params["cell"]["candidate_kernel"].shape[1]
+    with tf.GradientTape() as tape:
+        emb = tf.matmul(
+            tf.reshape(tf.transpose(tf.constant(c3d), [0, 1, 3, 4, 2]),
+                       [-1, 1024]),
+            tfp["proj_c3d_W"]) + tfp["proj_c3d_b"]
+        emb = tf.reshape(emb, [b, t, -1])
+        inv_proj = tf.transpose(tfp["proj_out_W"])  # tied (:50)
+        h = tf.zeros((b, state), tf.float32)
+        logits_steps = []
+        tf_loss = 0.0
+        for i in range(t):
+            if i == 0:
+                current = tf.zeros((b, state), tf.float32)
+            else:
+                current = tf.matmul(
+                    tf.constant(targets[:, i - 1]) - tfp["proj_out_b"],
+                    inv_proj)
+            xi = tf.concat([emb[:, i], current], axis=1)
+            gates = tf.sigmoid(
+                tf.matmul(tf.concat([xi, h], 1), tfp["gates_kernel"])
+                + tfp["gates_bias"])
+            r, u = tf.split(gates, 2, axis=1)
+            cand = tf.tanh(
+                tf.matmul(tf.concat([xi, r * h], 1), tfp["candidate_kernel"])
+                + tfp["candidate_bias"])
+            h = u * h + (1.0 - u) * cand
+            logit = tf.matmul(h, tfp["proj_out_W"]) + tfp["proj_out_b"]
+            logits_steps.append(logit)
+            xent = tf.nn.softmax_cross_entropy_with_logits(
+                labels=tf.constant(gt_norm[:, i].reshape(b, 49)),
+                logits=logit[:, :49])
+            pupil_l2 = 0.5 * tf.reduce_sum(
+                tf.square(logit[:, 49] - pupils[:, i]))
+            tf_loss = tf_loss + tf.reduce_sum(xent) + 0.5 * pupil_l2
+        tf_loss = tf_loss / float(b)  # model_2layer_gru.py:98: / B only
+    tf_grads = tape.gradient(tf_loss, tfp)
+    tf_logits = tf.transpose(tf.stack(logits_steps), [1, 0, 2]).numpy()
+
+    from recurrent_gaze_prediction_tpu.models import gaze_legacy
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    ours_logits = np.asarray(gaze_legacy.apply_pupil_gru2(
+        jparams, jnp.asarray(frames), jnp.asarray(c3d),
+        jnp.asarray(targets), model.cfg, train=False))
+    np.testing.assert_allclose(ours_logits, tf_logits,
+                               rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_pupil_gru2 whole-network joint")
+
+    batch = {"frames": jnp.asarray(frames), "c3d": jnp.asarray(c3d),
+             "gazemaps": jnp.asarray(gazemaps), "pupils": jnp.asarray(pupils)}
+
+    def loss_fn(p):
+        return model.loss(p, batch, train=False)[0]
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(jparams)
+    np.testing.assert_allclose(float(jloss), float(tf_loss),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="gaze_pupil_gru2 whole-network loss")
+
+    flat_expected = {}
+    for k in params["c3d_proj"]:
+        flat_expected[("c3d_proj", k)] = tf_grads[k].numpy()
+    for k in params["cell"]:
+        flat_expected[("cell", k)] = tf_grads[k].numpy()
+    for k in ("proj_out_W", "proj_out_b"):
+        flat_expected[(k,)] = tf_grads[k].numpy()
+
+    n_checked = 0
+    for path, expected in flat_expected.items():
+        got = jgrads
+        for key in path:
+            got = got[key]
+        got = np.asarray(got)
+        scale = max(np.abs(expected).max(), 5e-3)
+        np.testing.assert_allclose(
+            got, expected, rtol=2e-4, atol=2e-4 * scale,
+            err_msg=f"gaze_pupil_gru2 dL/d{'.'.join(path)}")
+        n_checked += 1
+    assert n_checked == 8  # 2 proj + 4 cell + 2 joint head (tied inverse)
+
+
+def test_tf_golden_rnn77_and_framewise_whole_network_forward():
+    """Forward parity for the last two registry families vs raw TF2 ops.
+
+    gaze_rnn77 (`/root/reference/models/gaze_rnn77.py:35-101` = gaze_rnn
+    at GH=GW=7): the one piece of distinct composition is the 7x7/stride-7
+    VALID avg-pool of the ShallowNet branch (gaze_rnn.py:262-269) plus the
+    output projection to 49 cells — both pinned here, with the flat-GRU
+    trunk, at fp32.
+
+    gaze_framewise_shallownet (`/root/reference/models/
+    gaze_framewise_shallownet.py:75-90`): ShallowNet applied framewise and
+    reshaped to [B,T,49,49]."""
+    b, t = 2, 4
+    model = registry.create_model("gaze_rnn77", n_lstm_steps=t,
+                                  batch_size=b, compute_dtype="float32")
+    assert (model.cfg.gazemap_height, model.cfg.gazemap_width) == (7, 7)
+    rng = np.random.RandomState(47)
+    params = _scaled_like(model.init(jax.random.PRNGKey(0)), rng,
+                          _default_scale)
+
+    frames = rng.rand(b, t, 98, 98, 3).astype(np.float32)
+    c3d = rng.rand(b, t, 1024, 7, 7).astype(np.float32)
+    sn = params["shallownet"]
+
+    def tf_shallownet(x):
+        x = tf.nn.relu(tf.nn.conv2d(x, sn["conv1_w"], 1, "VALID")
+                       + sn["conv1_b"])
+        x = tf.nn.max_pool2d(x, 2, 2, "SAME")
+        x = tf.nn.relu(tf.nn.conv2d(x, sn["conv2_w"], 1, "VALID")
+                       + sn["conv2_b"])
+        x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+        x = tf.nn.relu(tf.nn.conv2d(x, sn["conv3_w"], 1, "VALID")
+                       + sn["conv3_b"])
+        x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+        x = tf.reshape(x, (x.shape[0], -1))
+        x = tf.nn.relu(tf.matmul(x, sn["fc1_w"]) + sn["fc1_b"])
+        x = _tf_maxout2(x)
+        x = tf.nn.relu(tf.matmul(x, sn["fc2_w"]) + sn["fc2_b"])
+        x = _tf_maxout2(x)
+        return tf.reshape(x, (-1, 49, 49))
+
+    sal = tf_shallownet(tf.constant(frames.reshape(-1, 98, 98, 3)))
+    # the 77 regime's avg-pool (gaze_rnn.py:262-269)
+    pooled = tf.nn.avg_pool(tf.expand_dims(sal, 3), [1, 7, 7, 1],
+                            [1, 7, 7, 1], padding="VALID")
+    tf_sal77 = tf.reshape(pooled, (b, t, 7, 7)).numpy()
+
+    emb = tf.matmul(
+        tf.reshape(tf.transpose(tf.constant(c3d), [0, 1, 3, 4, 2]),
+                   [-1, 1024]),
+        params["c3d_proj"]["proj_c3d_W"]) + params["c3d_proj"]["proj_c3d_b"]
+    emb = tf.reshape(emb, [b, t, -1])
+    cell = params["cell"]
+    h = tf.zeros((b, cell["candidate_kernel"].shape[1]), tf.float32)
+    logits = []
+    for i in range(t):
+        xi = emb[:, i]
+        gates = tf.sigmoid(
+            tf.matmul(tf.concat([xi, h], 1), cell["gates_kernel"])
+            + cell["gates_bias"])
+        r, u = tf.split(gates, 2, axis=1)
+        cand = tf.tanh(
+            tf.matmul(tf.concat([xi, r * h], 1), cell["candidate_kernel"])
+            + cell["candidate_bias"])
+        h = u * h + (1.0 - u) * cand
+        out = tf.matmul(h, params["proj_out_W"]) + params["proj_out_b"]
+        logits.append(tf.reshape(out, [b, 7, 7]))
+    expected77 = tf.transpose(tf.stack(logits), [1, 0, 2, 3]).numpy()
+
+    from recurrent_gaze_prediction_tpu.models import gaze_rnn
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    net = {}
+    ours77 = np.asarray(gaze_rnn.apply(jparams, jnp.asarray(frames),
+                                       jnp.asarray(c3d), model.cfg,
+                                       train=False, net=net))
+    np.testing.assert_allclose(np.asarray(net["frm_sal_77"]), tf_sal77,
+                               rtol=1e-4, atol=1e-5,
+                               err_msg="gaze_rnn77 pooled saliency branch")
+    np.testing.assert_allclose(ours77, expected77, rtol=1e-5, atol=1e-5,
+                               err_msg="gaze_rnn77 whole-network logits")
+
+    # ---- gaze_framewise_shallownet: framewise reshape composition
+    mfw = registry.create_model("gaze_framewise_shallownet", n_lstm_steps=t,
+                                batch_size=b, compute_dtype="float32")
+    pfw = _scaled_like(mfw.init(jax.random.PRNGKey(1)), rng, _default_scale)
+    snfw = pfw["shallownet"] if "shallownet" in pfw else pfw
+    sn = snfw
+    expected_fw = tf.reshape(
+        tf_shallownet(tf.constant(frames.reshape(-1, 98, 98, 3))),
+        (b, t, 49, 49)).numpy()
+    ours_fw = np.asarray(mfw.apply(
+        jax.tree_util.tree_map(jnp.asarray, pfw), jnp.asarray(frames),
+        jnp.asarray(c3d), train=False))
+    np.testing.assert_allclose(ours_fw, expected_fw, rtol=1e-4, atol=1e-5,
+                               err_msg="gaze_framewise_shallownet "
+                                       "whole-network maps")
