@@ -18,6 +18,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -81,17 +82,25 @@ def bench_inference():
     return frames_per_sec, util
 
 
-def _load_full_pipeline_module():
-    """examples/ is not a package; load the rehearsal module by path."""
-    import importlib.util
+_FULL_PIPELINE_MODULE = None
 
-    spec = importlib.util.spec_from_file_location(
-        "rgp_full_pipeline",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "examples", "full_pipeline.py"))
-    module = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(module)
-    return module
+
+def _load_full_pipeline_module():
+    """examples/ is not a package; load the rehearsal module by path.
+    Memoized: exec_module re-runs the whole file, and the int8 bench
+    needs the module twice per run (calibration + accuracy batch)."""
+    global _FULL_PIPELINE_MODULE
+    if _FULL_PIPELINE_MODULE is None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "rgp_full_pipeline",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "examples", "full_pipeline.py"))
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _FULL_PIPELINE_MODULE = module
+    return _FULL_PIPELINE_MODULE
 
 
 def _real_video_batch(b: int = 8, f: int = 160, seed: int = 7):
@@ -538,6 +547,19 @@ def bench_metric_eval(n: int = 4200, iters: int = 2000):
     return n / dev_s
 
 
+def _num(value, ndigits: int):
+    """JSON-safe number: None stays None (bench skipped), non-finite
+    values (e.g. corrcoef of a constant map set = NaN) become None rather
+    than a bare NaN token that breaks strict JSON parsers, and legitimate
+    zeros survive (no truthiness test)."""
+    if value is None:
+        return None
+    value = float(value)
+    if not math.isfinite(value):
+        return None
+    return round(value, ndigits)
+
+
 def main() -> None:
     frames_per_sec, infer_mfu = bench_inference()
     try:
@@ -582,34 +604,25 @@ def main() -> None:
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
-        "mfu": round(infer_mfu, 4) if infer_mfu else None,
-        "int8_frames_per_sec": round(int8_fps, 1) if int8_fps else None,
-        "int8_map_corr": round(int8_corr, 4) if int8_corr else None,
+        "mfu": _num(infer_mfu, 4),
+        "int8_frames_per_sec": _num(int8_fps, 1),
+        "int8_map_corr": _num(int8_corr, 4),
         "train_step_ms": round(train_ms, 2),
-        "train_mfu": round(train_mfu, 4) if train_mfu else None,
-        "train_mfu_xla_costmodel": (
-            round(train_mfu_xla, 4) if train_mfu_xla else None),
+        "train_mfu": _num(train_mfu, 4),
+        "train_mfu_xla_costmodel": _num(train_mfu_xla, 4),
         "train_step_ms_b56": round(train56_ms, 2),
-        "train_mfu_b56": round(train56_mfu, 4) if train56_mfu else None,
-        "train_mfu_b56_xla_costmodel": (
-            round(train56_mfu_xla, 4) if train56_mfu_xla else None),
+        "train_mfu_b56": _num(train56_mfu, 4),
+        "train_mfu_b56_xla_costmodel": _num(train56_mfu_xla, 4),
         "train_frames_per_sec_b56": round(56 * 42 / (train56_ms / 1e3), 0),
-        "fused_train_raw_frames_per_sec": (
-            round(fused_train_fps, 1) if fused_train_fps else None),
-        "metric_eval_frames_per_sec": (
-            round(eval_fps, 0) if eval_fps else None),
-        "streaming_frames_per_sec": (
-            round(stream_fps, 1) if stream_fps else None),
-        "streaming_speedup_vs_independent": (
-            round(stream_speedup, 3) if stream_speedup else None),
-        "serving_requests_per_sec": (
-            round(serve_rps, 2) if serve_rps else None),
-        "serving_p50_ms": round(serve_p50, 1) if serve_p50 else None,
-        "serving_p99_ms": round(serve_p99, 1) if serve_p99 else None,
-        "serving_direct_requests_per_sec": (
-            round(serve_direct_rps, 2) if serve_direct_rps else None),
-        "serving_batch_device_amortization": (
-            round(serve_amort, 2) if serve_amort else None),
+        "fused_train_raw_frames_per_sec": _num(fused_train_fps, 1),
+        "metric_eval_frames_per_sec": _num(eval_fps, 0),
+        "streaming_frames_per_sec": _num(stream_fps, 1),
+        "streaming_speedup_vs_independent": _num(stream_speedup, 3),
+        "serving_requests_per_sec": _num(serve_rps, 2),
+        "serving_p50_ms": _num(serve_p50, 1),
+        "serving_p99_ms": _num(serve_p99, 1),
+        "serving_direct_requests_per_sec": _num(serve_direct_rps, 2),
+        "serving_batch_device_amortization": _num(serve_amort, 2),
         "device": jax.devices()[0].device_kind,
     }))
 

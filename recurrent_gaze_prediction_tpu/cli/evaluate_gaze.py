@@ -161,16 +161,10 @@ def main(argv: Optional[list[str]] = None) -> int:
         # nanmean of the very same per-frame values written to scores.txt
         # (one RNG stream), not a second full metric pass.
         rng = np.random.RandomState(0)
-        other_union = None
-        if "AUC_shuffled" in args.metrics and n:
-            other_union = evaluator.metrics_np.build_other_map_union(
-                ret["fixationmaps"], rng=rng)
         per_frame = {
-            m: [evaluator.metrics_np.saliency_score_single(
-                    m, ret["pred_gazemaps"][i], ret["gt_gazemaps"][i],
-                    ret["fixationmaps"][i], other_map_union=other_union,
-                    rng=rng)
-                for i in range(n)]
+            m: evaluator.metrics_np.saliency_scores(
+                m, ret["pred_gazemaps"], ret["gt_gazemaps"],
+                ret["fixationmaps"], rng=rng)
             for m in args.metrics
         }
         scores = {m: float(np.nanmean(np.asarray(v, np.float64)))

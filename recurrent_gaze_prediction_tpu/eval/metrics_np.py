@@ -285,22 +285,30 @@ def build_other_map_union(fixation_maps,
     return other_union
 
 
-def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
-                   rng: np.random.RandomState | None = None) -> float:
-    """Mean per-frame score; AUC_shuffled negatives come from the union of
-    M=10 randomly chosen other fixation maps (`evaluation_metrics.py:275-295`)."""
+def saliency_scores(metric: str, pred_maps, gt_maps, fixation_maps,
+                    rng: np.random.RandomState | None = None) -> list:
+    """Per-frame scores for one metric (the values a scores.txt row holds);
+    AUC_shuffled negatives come from the union of M=10 randomly chosen
+    other fixation maps built ONCE for the whole set
+    (`evaluation_metrics.py:275-295`). Building the union lazily keeps the
+    other metrics working on mixed-resolution (ragged) fixation maps."""
     assert len(gt_maps) == len(pred_maps) == len(fixation_maps)
     rng = rng or np.random
 
-    # only AUC_shuffled consumes the union; building it lazily keeps the
-    # other metrics working on mixed-resolution (ragged) fixation maps
     other_union = (build_other_map_union(fixation_maps, rng=rng)
-                   if metric == "AUC_shuffled" else None)
-
-    scores = [
+                   if metric == "AUC_shuffled" and len(fixation_maps)
+                   else None)
+    return [
         saliency_score_single(metric, p, g, f, other_union, rng=rng)
         for p, g, f in zip(pred_maps, gt_maps, fixation_maps)
     ]
+
+
+def saliency_score(metric: str, pred_maps, gt_maps, fixation_maps,
+                   rng: np.random.RandomState | None = None) -> float:
+    """Mean per-frame score (`evaluation_metrics.py:275-295`)."""
+    scores = saliency_scores(metric, pred_maps, gt_maps, fixation_maps,
+                             rng=rng)
     # nanmean, NOT the reference's np.mean (`evaluation_metrics.py:295`):
     # the per-frame metrics deliberately return NaN for frames with no
     # fixations (AUC*/NSS), and sparse original-scale evals routinely

@@ -55,12 +55,28 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place host batch arrays on the mesh, batch-dim sharded over "data"."""
+    """Place batch arrays on the mesh, batch-dim sharded over "data".
+
+    Values that are already `jax.Array`s (e.g. produced by a device
+    prefetcher that placed them with the target sharding) must NOT take
+    the `np.asarray` path — that would block on a device->host gather of
+    the whole batch every step and nullify prefetch overlap. They pass
+    through untouched when already laid out right, or reshard
+    device-to-device otherwise; only host values are staged via NumPy.
+    """
     sharding = NamedSharding(mesh, batch_spec())
-    return {
-        k: jax.device_put(np.asarray(v), sharding)
-        for k, v in batch.items() if k != "clipnames"
-    }
+    out = {}
+    for k, v in batch.items():
+        if k == "clipnames":
+            continue
+        if isinstance(v, jax.Array):
+            if v.sharding.is_equivalent_to(sharding, v.ndim):
+                out[k] = v
+            else:  # device-to-device reshard, no host round-trip
+                out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = jax.device_put(np.asarray(v), sharding)
+    return out
 
 
 # --------------------------------------------------------- param shardings

@@ -380,14 +380,11 @@ def make_sharded_evaluate(mesh: Mesh, *, metrics=None, max_fix: int = 64,
                 max_other = min(1 << (max(n_other, 1) - 1).bit_length(),
                                 pred.shape[-2] * pred.shape[-1])
 
-        pad = (-n) % n_data
-        if pad:
-            def pad_to(x):
-                return jnp.concatenate(
-                    [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)])
-            pred, gt, fixation = (pad_to(x) for x in (pred, gt, fixation))
+        (pred, gt, fixation), _ = _pad_batch_dim((pred, gt, fixation),
+                                                 n_data)
         out = jitted(pred, gt, fixation, other_map, key, metrics, cap,
                      n_rep, max_other, exact)
-        return {m: v[:n] for m, v in out.items()} if pad else out
+        return ({m: v[:n] for m, v in out.items()}
+                if pred.shape[0] != n else out)
 
     return evaluate

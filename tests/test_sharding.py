@@ -84,6 +84,25 @@ def test_data_parallel_train_step_matches_single_device():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_shard_batch_passthrough_no_host_roundtrip():
+    """An already-correctly-sharded jax.Array passes through shard_batch
+    untouched (identity — no device->host gather per step, which would
+    nullify prefetch overlap on the --data_parallel train path), and a
+    differently-sharded one is resharded without visiting NumPy."""
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    batch = shard_batch({"x": np.ones((8, 4), np.float32)}, mesh)
+    again = shard_batch(batch, mesh)
+    assert again["x"] is batch["x"]
+
+    # replicated input -> resharded to the batch spec, still a jax.Array
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = jax.device_put(np.ones((8, 4), np.float32),
+                          NamedSharding(mesh, P()))
+    out = shard_batch({"x": repl}, mesh)
+    assert out["x"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P("data")), 2)
+
+
 def test_model_parallel_grcn_full():
     """2-way model parallel x 4-way data parallel on the full gaze_grcn
     (512 proj sharded over the model axis)."""
