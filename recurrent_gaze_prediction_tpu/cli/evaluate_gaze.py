@@ -151,8 +151,11 @@ def main(argv: Optional[list[str]] = None) -> int:
                 jax.numpy.asarray(fix),
                 jax.random.PRNGKey(0), metrics=tuple(args.metrics),
                 exact=args.exact)
-        scores = {m: float(np.nanmean(np.asarray(v)))
-                  for m, v in per_frame.items()}
+        # materialize each metric's frame vector ONCE: indexing device
+        # arrays per (frame, metric) in the scores.txt loop below would
+        # pay n_frames x n_metrics gather+D2H round-trips
+        per_frame = {m: np.asarray(v) for m, v in per_frame.items()}
+        scores = {m: float(np.nanmean(v)) for m, v in per_frame.items()}
 
         def frame_score(metric, i):
             return float(per_frame[metric][i])

@@ -128,8 +128,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     num_frames = None
     if args.caffemodel:
         from ..compat.caffemodel import c3d_params_from_caffemodel
+        from ..models.c3d import fold_bgr_into_params
 
-        c3d_params = c3d_params_from_caffemodel(args.caffemodel)
+        # fused serving feeds decoded RGB; fold the Caffe BGR ordering
+        # into conv1a once (models/c3d.fold_bgr_into_params) — also
+        # BEFORE int8 calibration below, so quantization ranges are
+        # measured on the weights the bundle will actually carry
+        c3d_params = fold_bgr_into_params(
+            c3d_params_from_caffemodel(args.caffemodel))
         num_frames = args.fused_num_frames
 
     int8_qparams = None

@@ -106,13 +106,17 @@ def load_c3d_params(path: Optional[str], key: jax.Array) -> dict:
                  "checkpoint for real training)")
         return c3d_model.init_params(key)
     if path.endswith(".npz"):
-        # flat-key convention shared with cli/extract_features._load_params
+        # flat-key convention shared with cli/extract_features._load_params;
+        # assumed already in this framework's RGB-input convention
         blob = np.load(path)
         return {key.replace("/", "_"): np.asarray(blob[key])
                 for key in blob.files}
     from ..compat.caffemodel import c3d_params_from_caffemodel
 
-    return c3d_params_from_caffemodel(path)
+    # Caffe-trained weights saw BGR frames; the fused pipeline feeds
+    # decoded RGB with no per-frame swap, so fold the channel reorder
+    # into conv1a once (models/c3d.fold_bgr_into_params)
+    return c3d_model.fold_bgr_into_params(c3d_params_from_caffemodel(path))
 
 
 def main(argv: Optional[list[str]] = None) -> int:

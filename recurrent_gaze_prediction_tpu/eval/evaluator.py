@@ -76,6 +76,26 @@ def generate(predict_fn: Callable, params, dataset: ClipDataset,
     }
 
 
+_SHARDED_EVAL_CACHE: dict = {}
+
+
+def _sharded_evaluate_cached(mesh, metrics: tuple, n_rep: int, exact: bool):
+    """One `parallel.make_sharded_evaluate` wrapper per (mesh, metrics,
+    n_rep, exact): each wrapper owns a fresh `jax.jit` object, so building
+    one per call would re-trace and re-compile the sharded metric program
+    at every evaluation cadence of a training run. Mesh is hashable; the
+    unsharded path's module-level jit cache plays this same role."""
+    cache_key = (mesh, metrics, n_rep, exact)
+    fn = _SHARDED_EVAL_CACHE.get(cache_key)
+    if fn is None:
+        from ..parallel import make_sharded_evaluate
+
+        fn = make_sharded_evaluate(mesh, metrics=metrics, n_rep=n_rep,
+                                   exact=exact)
+        _SHARDED_EVAL_CACHE[cache_key] = fn
+    return fn
+
+
 def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
              fixationmaps: np.ndarray,
              metrics: Sequence[str] = AVAILABLE_METRICS,
@@ -107,10 +127,8 @@ def evaluate(pred_gazemaps: np.ndarray, gt_gazemaps: np.ndarray,
     if on_device:
         key = key if key is not None else jax.random.PRNGKey(0)
         if mesh is not None:
-            from ..parallel import make_sharded_evaluate
-
-            sharded = make_sharded_evaluate(mesh, metrics=tuple(metrics),
-                                            n_rep=n_rep, exact=exact)
+            sharded = _sharded_evaluate_cached(mesh, tuple(metrics), n_rep,
+                                               exact)
             scores = sharded(jax.numpy.asarray(pred_gazemaps),
                              jax.numpy.asarray(gt_gazemaps),
                              jax.numpy.asarray(fixationmaps), key)

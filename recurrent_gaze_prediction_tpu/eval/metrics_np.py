@@ -35,10 +35,19 @@ import scipy.sparse
 
 
 def normalize_range(x: np.ndarray) -> np.ndarray:
-    """Min-max normalize to [0, 1] (`evaluation_metrics.py:15-17`)."""
+    """Min-max normalize to [0, 1] (`evaluation_metrics.py:15-17`).
+
+    A constant map normalizes to zeros instead of the reference's 0/0 ->
+    all-NaN (which made `np.arange(0, nan)` CRASH AUC_Borji/shuffled on
+    one degenerate frame — e.g. a uniform softmax from an untrained
+    checkpoint — aborting the whole eval). Matches the on-device
+    `metrics_jax._normalize_range` guard: such frames score chance (0.5)
+    rather than killing the pass."""
     x = np.asarray(x, dtype=np.float64)
     lo, hi = x.min(), x.max()
-    return (x - lo) / (hi - lo)
+    if hi > lo:
+        return (x - lo) / (hi - lo)
+    return np.zeros_like(x)
 
 
 # Which cubic resize family the protocol uses. "skimage" reproduces

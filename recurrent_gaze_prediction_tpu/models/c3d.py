@@ -154,6 +154,35 @@ def preprocess_frames(frames: jax.Array, mean_cube: Optional[jax.Array] = None,
     return x
 
 
+def fold_bgr_into_params(params: dict,
+                         mean_cube: Optional[jax.Array] = None):
+    """Permute conv1a's in-channel axis so BGR-trained weights (Caffe
+    Sports-1M, `extract_C3D_features.py:695-701`) accept RGB frames and
+    produce activations identical to the original weights fed BGR-swapped
+    frames (exact up to in-channel reduction-order ULPs; pinned ≤1e-5
+    through conv5b by `test_fold_bgr_into_params_bit_exact`).
+
+    The fused pipeline (`models/pipeline.extract_and_predict` and every
+    surface built on it: fused train/predict, serving export, temporal
+    sharding, streaming) feeds decoded RGB with no per-frame channel
+    swap — fold Caffe weights through this ONCE at load time instead of
+    paying a per-frame reorder. The offline `cli/extract_features`
+    surface keeps its runtime `--bgr` swap for blob-level reference
+    parity; never apply both.
+
+    A Caffe mean cube is stored in BGR order; pass it here to get the
+    matching RGB-ordered cube (channel reverse). With the scalar
+    MEAN_PIXEL fallback no cube is involved. Returns `folded_params` or
+    `(folded_params, folded_mean_cube)` when a cube is given.
+    """
+    out = dict(params)
+    w = np.asarray(params["conv1a_w"])  # DHWIO, I = 3
+    out["conv1a_w"] = jnp.asarray(w[..., ::-1, :].copy())
+    if mean_cube is None:
+        return out
+    return out, jnp.asarray(np.asarray(mean_cube)[..., ::-1].copy())
+
+
 def clip_windows(num_frames: int, window: int = 16) -> list[int]:
     """Non-overlapping window start indices
     (`extract_C3D_features.py:866`: range(0, num_frames, 16))."""

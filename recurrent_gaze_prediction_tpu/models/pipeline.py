@@ -46,6 +46,12 @@ def extract_and_predict(c3d_params: dict, gaze_params, gaze_model: GazeModel,
                         c3d_forward=None) -> jax.Array:
     """[B, F, H, W, 3] raw pixel frames (0..255) -> [B, T, GH, GW] gaze maps.
 
+    Frames are RGB (what `data/video.decode_video` yields); `c3d_params`
+    must follow this framework's RGB-input convention — fold BGR-trained
+    Caffe weights through `c3d.fold_bgr_into_params` at load time (the
+    CLIs do; a per-frame channel swap here would cost every step what the
+    one-time conv1a permutation costs never).
+
     F is static; T = pipeline_timesteps(F). Jit this (optionally with the
     model closed over) for the fused single-program path. `train=True`
     applies the gaze model's dropout (driven by `rng`); the C3D extractor

@@ -146,6 +146,17 @@ def make_temporal_sharded_extract(mesh: Mesh, *,
                 f"windows ({n_windows}) must be divisible by the data "
                 f"axis ({n_data}); pad the video to a multiple of "
                 f"{16 * n_data} frames")
+        # in_shardings also splits the RAW frame axis (same hazard the
+        # fused-predict wrapper guards above): F = 16*n_windows + r
+        # leftover frames passes the window check but dies inside jit
+        # with an opaque non-divisible-sharding error
+        if video_frames.shape[1] % n_data:
+            raise ValueError(
+                f"temporal extract splits the frame axis "
+                f"({video_frames.shape[1]} frames) over the data axis "
+                f"({n_data}); truncate the leftover partial window so the "
+                f"frame count is a multiple of {n_data} (whole 16-frame "
+                f"windows already satisfy this)")
         key = video_frames.shape
         jitted = cache.get(key)
         if jitted is None:

@@ -407,13 +407,17 @@ def fit_fused(gaze_model: GazeModel, state: FusedTrainState, tx,
     try:
         gaze_params, opt_state, c3d_params = (state.gaze_params,
                                               state.opt_state, state.c3d_params)
-        if mesh is not None and not finetune_c3d:
-            # place the frozen tower on the mesh ONCE: it is never a jit
-            # output, so without this every step would re-broadcast ~80 MB
-            # of replicated C3D weights through the jit's in_shardings
-            from ..parallel import replicate
+        if not finetune_c3d:
+            # place the frozen tower ONCE: it is never a jit output, so
+            # NumPy-backed leaves (the --c3d_weights *.npz path) would
+            # otherwise be re-transferred host->device (~full tower per
+            # step) — and on a mesh, re-broadcast through in_shardings
+            if mesh is not None:
+                from ..parallel import replicate
 
-            c3d_params = replicate(c3d_params, mesh)
+                c3d_params = replicate(c3d_params, mesh)
+            else:
+                c3d_params = jax.device_put(c3d_params)
         step = int(state.step)
         n_train = max(len(train_data), 1)
         last_logged_step, t_logged = step, time.time()

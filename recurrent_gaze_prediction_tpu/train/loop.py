@@ -180,107 +180,118 @@ def fit(model: GazeModel, state: TrainState, tx, data: DataSplits,
     if profile_steps and train_dir is None:
         log.warn("profile_steps=%d requested but train_dir is unset; "
                  "profiling disabled", profile_steps)
-    while step < sched_cfg.max_steps and not stop_requested["flag"]:
-        # arm once at the first step past profile_start (>=, not ==: a
-        # resumed run enters with step >> profile_start and must still
-        # capture a trace)
-        if (profile_steps and train_dir is not None and not profile_active
-                and profile_end == 0 and step + 1 >= profile_start):
-            jax.profiler.start_trace(f"{train_dir}/profile")
-            profile_active = True
-            profile_end = step + profile_steps
-            log.info("profiler: tracing steps %d..%d -> %s/profile",
-                     step + 1, profile_end, train_dir)
-        if train_iterator is not None:
-            raw = next(train_iterator, None)
-            if raw is None:
-                log.warn("train iterator exhausted at step %d", step)
-                break
-            if shard_fn is not None:
-                batch = shard_fn(raw)
+    try:
+        while step < sched_cfg.max_steps and not stop_requested["flag"]:
+            # arm once at the first step past profile_start (>=, not ==: a
+            # resumed run enters with step >> profile_start and must still
+            # capture a trace)
+            if (profile_steps and train_dir is not None and not profile_active
+                    and profile_end == 0 and step + 1 >= profile_start):
+                jax.profiler.start_trace(f"{train_dir}/profile")
+                profile_active = True
+                profile_end = step + profile_steps
+                log.info("profiler: tracing steps %d..%d -> %s/profile",
+                         step + 1, profile_end, train_dir)
+            if train_iterator is not None:
+                raw = next(train_iterator, None)
+                if raw is None:
+                    log.warn("train iterator exhausted at step %d", step)
+                    break
+                if shard_fn is not None:
+                    batch = shard_fn(raw)
+                else:
+                    batch = {k: jnp.asarray(v) for k, v in raw.items()
+                             if k != "clipnames"}
             else:
-                batch = {k: jnp.asarray(v) for k, v in raw.items()
-                         if k != "clipnames"}
-        else:
-            batch = _device_batch(data.train.next_batch(batch_size),
-                                  input_cast=input_cast,
-                                  sharding=batch_sharding)
-        state, metrics = train_step(state, batch, rng)
-        # host-side counter: int(metrics["step"]) would block on the
-        # device every iteration, serializing dispatch with host batch
-        # prep; the logging branches below sync when they need values
-        step += 1
+                batch = _device_batch(data.train.next_batch(batch_size),
+                                      input_cast=input_cast,
+                                      sharding=batch_sharding)
+            state, metrics = train_step(state, batch, rng)
+            # host-side counter: int(metrics["step"]) would block on the
+            # device every iteration, serializing dispatch with host batch
+            # prep; the logging branches below sync when they need values
+            step += 1
 
-        if profile_active and step >= profile_end:
-            float(metrics["loss"])  # sync the traced steps
+            if profile_active and step >= profile_end:
+                float(metrics["loss"])  # sync the traced steps
+                jax.profiler.stop_trace()
+                profile_active = False
+
+            if step % sched_cfg.steps_per_logprint == 0:
+                loss = float(metrics["loss"])  # device sync happens HERE
+                t1 = time.time()
+                steps_since = step - last_logged_step
+                sec_per_batch = (t1 - t_logged) / max(steps_since, 1)
+                last_logged_step, t_logged = step, t1
+                epoch = step * batch_size / n_train
+                lr = float(lr_schedule(step))
+                log.info(
+                    " [train epoch %.1f / step %4d] %s loss: %.5f "
+                    "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
+                    epoch, step,
+                    (exp.train_tag + " |" if exp.train_tag else ""),
+                    loss, sec_per_batch,
+                    batch_size / max(sec_per_batch, 1e-9), lr)
+                if metric_writer:
+                    metric_writer(step, {"loss/train": loss,
+                                         "grad_norm": float(metrics["grad_norm"]),
+                                         "learning_rate": lr})
+
+            if ckpt is not None and step % sched_cfg.steps_per_checkpoint == 0:
+                ckpt.save(state)
+
+            if data.valid is not None and len(data.valid) >= batch_size \
+                    and step % sched_cfg.steps_per_validation == 0:
+                vbatch = _device_batch(data.valid.next_batch(batch_size),
+                                       input_cast=input_cast,
+                                       sharding=batch_sharding)
+                vmetrics = eval_step(state.params, vbatch)
+                vloss = float(vmetrics["loss"])
+                log.infov(" [val   step %4d] loss: %.5f", step, vloss)
+                if metric_writer:
+                    metric_writer(step, {"loss/val": vloss})
+                    # image summaries of the last timestep, like the reference's
+                    # validation-step dumps (gaze_rnn.py:172-208, max_outputs=2)
+                    if hasattr(metric_writer, "images"):
+                        preds = predict_fn(state.params, vbatch["frames"],
+                                           vbatch["c3d"])
+                        preds = np.asarray(preds)[:, -1]
+                        metric_writer.images(step, "inputimage",
+                                             np.asarray(vbatch["frames"])[:, -1])
+                        metric_writer.images(step, "saliency_maps_gt",
+                                             np.asarray(vbatch["gazemaps"])[:, -1])
+                        metric_writer.images(step, "saliency_maps_pred_norm",
+                                             preds)
+
+            if data.valid is not None and len(data.valid) >= batch_size \
+                    and step % sched_cfg.steps_per_evaluation == 0:
+                _, scores = evaluator.generate_and_evaluate(
+                    predict_fn, state.params, data.valid, batch_size,
+                    max_instances=max_eval_instances, input_cast=input_cast,
+                    mesh=mesh)
+                if metric_writer:
+                    metric_writer(step, {f"evaluation/{m}": s
+                                         for m, s in scores.items()})
+
+        if profile_active:  # loop ended inside the trace window
             jax.profiler.stop_trace()
             profile_active = False
-
-        if step % sched_cfg.steps_per_logprint == 0:
-            loss = float(metrics["loss"])  # device sync happens HERE
-            t1 = time.time()
-            steps_since = step - last_logged_step
-            sec_per_batch = (t1 - t_logged) / max(steps_since, 1)
-            last_logged_step, t_logged = step, t1
-            epoch = step * batch_size / n_train
-            lr = float(lr_schedule(step))
-            log.info(
-                " [train epoch %.1f / step %4d] %s loss: %.5f "
-                "(%.3f sec/batch, %.3f instances/sec) (lr=%.3g)",
-                epoch, step,
-                (exp.train_tag + " |" if exp.train_tag else ""),
-                loss, sec_per_batch,
-                batch_size / max(sec_per_batch, 1e-9), lr)
-            if metric_writer:
-                metric_writer(step, {"loss/train": loss,
-                                     "grad_norm": float(metrics["grad_norm"]),
-                                     "learning_rate": lr})
-
-        if ckpt is not None and step % sched_cfg.steps_per_checkpoint == 0:
-            ckpt.save(state)
-
-        if data.valid is not None and len(data.valid) >= batch_size \
-                and step % sched_cfg.steps_per_validation == 0:
-            vbatch = _device_batch(data.valid.next_batch(batch_size),
-                                   input_cast=input_cast,
-                                   sharding=batch_sharding)
-            vmetrics = eval_step(state.params, vbatch)
-            vloss = float(vmetrics["loss"])
-            log.infov(" [val   step %4d] loss: %.5f", step, vloss)
-            if metric_writer:
-                metric_writer(step, {"loss/val": vloss})
-                # image summaries of the last timestep, like the reference's
-                # validation-step dumps (gaze_rnn.py:172-208, max_outputs=2)
-                if hasattr(metric_writer, "images"):
-                    preds = predict_fn(state.params, vbatch["frames"],
-                                       vbatch["c3d"])
-                    preds = np.asarray(preds)[:, -1]
-                    metric_writer.images(step, "inputimage",
-                                         np.asarray(vbatch["frames"])[:, -1])
-                    metric_writer.images(step, "saliency_maps_gt",
-                                         np.asarray(vbatch["gazemaps"])[:, -1])
-                    metric_writer.images(step, "saliency_maps_pred_norm",
-                                         preds)
-
-        if data.valid is not None and len(data.valid) >= batch_size \
-                and step % sched_cfg.steps_per_evaluation == 0:
-            _, scores = evaluator.generate_and_evaluate(
-                predict_fn, state.params, data.valid, batch_size,
-                max_instances=max_eval_instances, input_cast=input_cast,
-                mesh=mesh)
-            if metric_writer:
-                metric_writer(step, {f"evaluation/{m}": s
-                                     for m, s in scores.items()})
-
-    if profile_active:  # loop ended inside the trace window
-        jax.profiler.stop_trace()
-    if profile_steps and train_dir is not None and profile_end == 0:
-        log.warn("profile_steps=%d requested but no step ran past "
-                 "profile_start=%d (max_steps=%d); nothing was traced",
-                 profile_steps, profile_start, sched_cfg.max_steps)
-    if ckpt is not None:
-        ckpt.save(state, wait=True)
-        ckpt.close()
-    for sig, handler in prev_handlers.items():
-        signal.signal(sig, handler)
+        if profile_steps and train_dir is not None and profile_end == 0:
+            log.warn("profile_steps=%d requested but no step ran past "
+                     "profile_start=%d (max_steps=%d); nothing was traced",
+                     profile_steps, profile_start, sched_cfg.max_steps)
+        if ckpt is not None:
+            ckpt.save(state, wait=True)
+            ckpt.close()
+            ckpt = None
+    finally:
+        # run on EVERY exit path (fit_fused got this try/finally first;
+        # an exception mid-loop must not leave the process with dead
+        # stop-flag handlers, an open trace, or an unclosed orbax manager)
+        if profile_active:
+            jax.profiler.stop_trace()
+        if ckpt is not None:  # exception path: close without a final save
+            ckpt.close()
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
     return state

@@ -44,6 +44,39 @@ def test_conv5b_fold_matches_blob_reshape():
     np.testing.assert_array_equal(folded, expected)
 
 
+def test_fold_bgr_into_params_bit_exact():
+    """folded weights fed RGB == raw BGR-trained weights fed BGR-swapped
+    frames through conv5b (fp32, up to in-channel reduction-order ULPs
+    accumulated over 5 conv layers) — the invariant that lets every fused
+    surface skip a per-frame channel swap for Caffe weights."""
+    params = c3d.init_params(jax.random.PRNGKey(3))
+    frames_rgb = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (1, 16, 112, 112, 3))
+        .astype(np.float32))
+
+    ref = c3d.apply(params, c3d.preprocess_frames(frames_rgb, bgr=True),
+                    feature_layer="conv5b", compute_dtype=jnp.float32)
+    folded = c3d.fold_bgr_into_params(params)
+    got = c3d.apply(folded, c3d.preprocess_frames(frames_rgb),
+                    feature_layer="conv5b", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
+
+    # with a (BGR-ordered) mean cube: fold returns the RGB-ordered cube
+    cube = jnp.asarray(
+        np.random.RandomState(1).rand(16, 112, 112, 3).astype(np.float32))
+    ref = c3d.apply(params,
+                    c3d.preprocess_frames(frames_rgb, mean_cube=cube,
+                                          bgr=True),
+                    feature_layer="conv5b", compute_dtype=jnp.float32)
+    folded, cube_rgb = c3d.fold_bgr_into_params(params, mean_cube=cube)
+    got = c3d.apply(folded,
+                    c3d.preprocess_frames(frames_rgb, mean_cube=cube_rgb),
+                    feature_layer="conv5b", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_preprocess_geometry():
     frames = jnp.zeros((2, 16, 240, 320, 3))
     out = c3d.preprocess_frames(frames)

@@ -250,6 +250,36 @@ def test_on_device_nan_conventions_match_golden():
     assert np.isnan(mnp.similarity(pred[0], zero[0]))
 
 
+def test_constant_prediction_map_scores_chance_not_crash():
+    """A constant predicted map (uniform softmax from an untrained or
+    collapsed checkpoint) must score — not crash the NumPy protocol.
+    Pre-fix, normalize_range produced all-NaN and `np.arange(0, nan)`
+    raised ValueError, killing the whole saliency_scores pass on one
+    degenerate frame; the on-device path already guarded this."""
+    rng = np.random.RandomState(0)
+    fix = np.zeros((21, 21), np.float32)
+    fix[4, 5] = fix[10, 11] = 1.0
+    const = np.full((21, 21), 0.25, np.float32)
+
+    borji = mnp.AUC_Borji(fix, const, rng=np.random.RandomState(1))
+    assert borji == pytest.approx(0.5)  # chance, matching the jax guard
+    judd = mnp.AUC_Judd(fix, const, rng=np.random.RandomState(1))
+    assert np.isfinite(judd)  # jitter breaks ties; must not crash
+    other = np.zeros((21, 21), np.float32)
+    other[2, 2] = other[15, 3] = 1.0
+    shuf = mnp.AUC_shuffled(fix, const, other,
+                            rng=np.random.RandomState(1))
+    assert shuf == pytest.approx(0.5)
+
+    # and the full per-frame pass survives a mixed batch with one
+    # degenerate frame
+    pred = [rng.rand(21, 21).astype(np.float32), const]
+    gt = [rng.rand(21, 21).astype(np.float32)] * 2
+    vals = mnp.saliency_scores("AUC_Borji", pred, gt, [fix, fix],
+                               rng=np.random.RandomState(2))
+    assert np.isfinite(vals).all()
+
+
 def test_evaluate_batch_chunking_matches_unchunked():
     """Chunked evaluation (memory bound for large N) must agree with the
     single-program path on deterministic metrics and stay in sampling

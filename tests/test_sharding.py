@@ -339,6 +339,19 @@ def test_temporal_sharded_frame_axis_guard():
             model, mesh, compute_dtype=jnp.float32)
         predict(c3d_params, gaze_params, video)
 
+    # the extract variant has the same hazard: a leftover partial window
+    # (F = 16*n_windows + r) passes the window check but the in_sharding
+    # splits the raw frame axis — must fail up front too
+    from recurrent_gaze_prediction_tpu.parallel import (
+        make_temporal_sharded_extract,
+    )
+
+    mesh2 = make_mesh(data_parallel=2)
+    extract = make_temporal_sharded_extract(mesh2, compute_dtype=jnp.float32)
+    ragged = jnp.zeros((1, 32 + 1, 48, 64, 3), jnp.float32)  # 2 windows + 1
+    with pytest.raises(ValueError, match="frame axis"):
+        extract(c3d_params, ragged)
+
 
 def test_sharded_fused_train_step_matches_single_device():
     """Data-parallel raw-video training (C3D in-graph) matches the

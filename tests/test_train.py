@@ -77,6 +77,30 @@ def test_grcn77_train_loss_drops():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.01
 
 
+def test_fit_restores_signal_handlers_on_error():
+    """An exception mid-loop must not leave fit()'s stop-flag signal
+    handlers installed (a leaked handler makes the process
+    uninterruptible after a failed run — fit_fused got this try/finally
+    first; fit() was missing it)."""
+    import signal
+
+    exp = _exp("gaze_framewise_shallownet", gazemap_height=49,
+               gazemap_width=49, loss_type="l2")
+    model = registry.create_model(exp.model.name, exp.model)
+    data = _small_data()
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+
+    def bad_iterator():
+        raise RuntimeError("broken pipeline")
+        yield  # pragma: no cover
+
+    before = signal.getsignal(signal.SIGINT)
+    with pytest.raises(RuntimeError, match="broken pipeline"):
+        fit(model, state, tx, data, exp, train_iterator=bad_iterator())
+    assert signal.getsignal(signal.SIGINT) is before
+
+
 def test_framewise_shallownet_end_to_end_fit_and_eval(tmp_path):
     """The ONE-model e2e milestone: data -> model -> loss -> fit() ->
     checkpoint -> on-device evaluation above chance."""
