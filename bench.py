@@ -401,13 +401,18 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
     frames1 = rng.rand(t, 98, 98, 3).astype(np.float32)
     c3d1 = rng.rand(t, 1024, 7, 7).astype(np.float32)
 
-    # prewarm every power-of-two bucket the batcher can dispatch, so the
-    # timed section measures serving, not compiles
+    # prewarm every bucket the batcher can dispatch (_bucket = next power
+    # of two CAPPED at max_batch — a non-power-of-two max_batch is itself
+    # a bucket), so the timed section measures serving, not compiles
+    sizes = set()
     b = 1
-    while b <= max_batch:
+    while b < max_batch:
+        sizes.add(b)
+        b *= 2
+    sizes.add(max_batch)
+    for b in sorted(sizes):
         np.asarray(predict(params, np.stack([frames1] * b),
                            np.stack([c3d1] * b)))
-        b *= 2
 
     def predict_np(frames, c3d):
         return np.asarray(predict(params, frames, c3d))
@@ -543,6 +548,8 @@ def bench_metric_eval(n: int = 4200, iters: int = 2000):
         return min(walls)
 
     lo = max(iters // 10, 1)
+    if iters <= lo:  # degenerate iters: keep two distinct chain lengths
+        iters = lo + 1
     dev_s = max((timed(iters) - timed(lo)) / (iters - lo), 1e-9)
     return n / dev_s
 

@@ -28,6 +28,7 @@ enum BlobIoStatus {
   BLOBIO_EHEADER = 2,
   BLOBIO_EPAYLOAD = 3,
   BLOBIO_ESHAPE = 4,
+  BLOBIO_ETHREAD = 5,
 };
 
 // Read only the 5-int32 header. shape_out must hold 5 int32.
@@ -110,12 +111,23 @@ int blobio_read_batch(const char* const* paths, int n_files,
   BatchTask tasks[64];
   if (n_threads > 64) n_threads = 64;
 
+  bool spawned[64];
   for (int ti = 0; ti < n_threads; ++ti) {
     tasks[ti] = BatchTask{paths, out, statuses, blob_count,
                           n_files, n_threads, ti};
-    pthread_create(&threads[ti], nullptr, batch_worker, &tasks[ti]);
+    spawned[ti] = pthread_create(&threads[ti], nullptr, batch_worker,
+                                 &tasks[ti]) == 0;
+    if (!spawned[ti]) {
+      // thread creation failed (EAGAIN under resource limits): the
+      // stripe this worker owned must be marked failed, not left as the
+      // caller's pre-zeroed BLOBIO_OK over uninitialized output — and
+      // joining an uninitialized pthread_t is UB
+      for (int i = ti; i < n_files; i += n_threads)
+        statuses[i] = BLOBIO_ETHREAD;
+    }
   }
-  for (int ti = 0; ti < n_threads; ++ti) pthread_join(threads[ti], nullptr);
+  for (int ti = 0; ti < n_threads; ++ti)
+    if (spawned[ti]) pthread_join(threads[ti], nullptr);
 
   int failures = 0;
   for (int i = 0; i < n_files; ++i)

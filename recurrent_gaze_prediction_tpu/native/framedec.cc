@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
+#include <system_error>
 #include <thread>
 #include <vector>
 
@@ -140,7 +141,19 @@ int framedec_decode_batch(const char** paths, int n, int out_h, int out_w,
   std::vector<std::thread> threads;
   const int spawn = n_threads < n ? n_threads : n;
   threads.reserve(spawn);
-  for (int t = 0; t < spawn; ++t) threads.emplace_back(worker);
+  for (int t = 0; t < spawn; ++t) {
+    try {
+      threads.emplace_back(worker);
+    } catch (const std::system_error&) {
+      // thread creation failed (resource exhaustion): letting the
+      // exception cross the extern "C"/ctypes boundary would
+      // std::terminate the whole Python process. The work-stealing
+      // counter means any already-running workers (or, with none, the
+      // fallback below) still decode every frame.
+      break;
+    }
+  }
+  if (threads.empty()) worker();  // single-threaded fallback
   for (auto& th : threads) th.join();
   return failures.load();
 }

@@ -128,6 +128,8 @@ def main() -> None:
         # time is the min-of-3 SLOPE between two chain lengths
         n_hi = args.iters * 400 if exact else args.iters
         n_lo = max(n_hi // 10, 1)
+        if n_hi <= n_lo:  # --iters 1: no slope possible, keep 2 points
+            n_hi = n_lo + 1
         wall_lo, _ = timed(n_lo, exact)
         wall_hi, (carry, aucs) = timed(n_hi, exact)
         dev_s = max((wall_hi - wall_lo) / (n_hi - n_lo), 1e-9)

@@ -11,9 +11,12 @@ import jax.numpy as jnp
 
 from recurrent_gaze_prediction_tpu.models import c3d
 from recurrent_gaze_prediction_tpu.ops.layers import conv3d, max_pool3d
+from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
 
 N = 80  # windows: matches bench_inference (8 clips x 10 windows)
-PEAK = 197e12  # v5e bf16 peak
+# device-aware roofline (same source bench.py uses) — a hardcoded v5e
+# peak would silently mis-scale every MFU on other generations
+PEAK = mfu_lib.peak_flops() or 197e12
 
 
 def prefix_fn(params, k):
