@@ -45,6 +45,12 @@ class ActionHParams:
     use_gazemap: bool = False
     head: str = "NN"         # NN | SVM
     svm_c: float = 50.0
+    # False replicates the reference hinge EXACTLY
+    # (`action_classification.py:252-253` feeds the {0,1} multi-hot raw, so
+    # absent classes contribute a constant 1 with zero gradient — the SVM
+    # never learns to suppress them). True (default) is the signed-label
+    # fix documented in PARITY.md.
+    svm_signed_labels: bool = True
     n_hidden: int = 256
     seed: int = 0
 
@@ -106,10 +112,12 @@ def loss_fn(params: dict, batch: dict, hp: ActionHParams,
         # fed raw (as the reference does, action_classification.py:253),
         # absent classes contribute max(0, 1-0) = 1 with ZERO gradient
         # and the SVM never learns to suppress them — reference bug
-        # fixed, not replicated (like the LR-restore bug; see PARITY.md)
-        signed = 2.0 * labels - 1.0
+        # fixed by default (like the LR-restore bug; see PARITY.md);
+        # `svm_signed_labels=False` replicates the reference verbatim for
+        # strict A/B comparison.
+        y = 2.0 * labels - 1.0 if hp.svm_signed_labels else labels
         reg = 0.5 * jnp.sum(jnp.square(params["svm_W"]))
-        hinge = jnp.sum(jnp.maximum(0.0, 1.0 - signed * logits))
+        hinge = jnp.sum(jnp.maximum(0.0, 1.0 - y * logits))
         return reg + hp.svm_c * hinge
     xent = optax.sigmoid_binary_cross_entropy(logits, labels)
     return jnp.mean(xent)

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch_size", default=10, type=int)
     parser.add_argument("--max_iter", default=2001, type=int)
     parser.add_argument("--learning_rate", default=0.002, type=float)
+    parser.add_argument("--reference_hinge", action="store_true",
+                        help="SVM only: replicate the reference's raw "
+                             "{0,1}-label hinge verbatim (its absent-class "
+                             "zero-gradient bug included) for strict A/B "
+                             "runs (action_classification.py:250-254)")
     parser.add_argument("--out", default=None, help="write scores JSON here")
     return parser
 
@@ -53,7 +58,8 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     hp = ActionHParams(batch_size=args.batch_size, max_iter=args.max_iter,
                        learning_rate=args.learning_rate, head=args.head,
-                       use_gazemap=args.use_gazemap)
+                       use_gazemap=args.use_gazemap,
+                       svm_signed_labels=not args.reference_hinge)
     clf = ActionClassifier(hp)
 
     def endless_batches():

@@ -125,6 +125,39 @@ def test_classifier_save_load_roundtrip(tmp_path):
                                rtol=1e-6)
 
 
+def test_svm_compat_flag_replicates_reference_hinge():
+    """`svm_signed_labels=False` reproduces the reference's EXACT loss
+    (`/root/reference/models/action_classification.py:250-254`): raw {0,1}
+    multi-hot labels in the hinge, 0.5*||W||^2 + 50 * sum(max(0, 1-y*f)).
+    Absent classes then contribute a constant 1 with zero gradient — the
+    documented reference bug, replicable on demand for strict A/B runs."""
+    from recurrent_gaze_prediction_tpu.action.classification import loss_fn
+
+    rng = np.random.RandomState(3)
+    data = _fake_records(8, seed=3)
+    params = {
+        "svm_W": rng.randn(1024 * 49, 13).astype(np.float32) * 1e-3,
+        "svm_b": rng.randn(13).astype(np.float32) * 1e-2,
+    }
+    batch = {"c3d": data["c3d"], "labels": data["labels"]}
+
+    # reference formula, transcribed in NumPy
+    flat = data["c3d"].reshape(8, -1)
+    logits = flat @ params["svm_W"] + params["svm_b"]
+    hinge = np.maximum(0.0, 1.0 - data["labels"] * logits).sum()
+    ref_loss = 0.5 * np.square(params["svm_W"]).sum() + 50.0 * hinge
+
+    hp_compat = ActionHParams(batch_size=8, head="SVM",
+                              svm_signed_labels=False)
+    got = float(loss_fn(params, batch, hp_compat, compute_dtype=np.float32))
+    np.testing.assert_allclose(got, ref_loss, rtol=1e-5)
+
+    # the default (signed) loss differs whenever any label is 0
+    hp_fixed = ActionHParams(batch_size=8, head="SVM")
+    fixed = float(loss_fn(params, batch, hp_fixed, compute_dtype=np.float32))
+    assert abs(fixed - ref_loss) > 1.0
+
+
 def test_svm_suppresses_negative_classes():
     """With signed hinge labels (reference bug fixed: {0,1} labels give
     absent classes zero gradient), a trained SVM drives absent-class
