@@ -77,14 +77,19 @@ def generate(predict_fn: Callable, params, dataset: ClipDataset,
 
 
 _SHARDED_EVAL_CACHE: dict = {}
+_SHARDED_EVAL_CACHE_MAX = 8  # distinct (mesh, metrics, ...) configs live at once
 
 
 def _sharded_evaluate_cached(mesh, metrics: tuple, n_rep: int, exact: bool):
     """One `parallel.make_sharded_evaluate` wrapper per (mesh, metrics,
     n_rep, exact): each wrapper owns a fresh `jax.jit` object, so building
     one per call would re-trace and re-compile the sharded metric program
-    at every evaluation cadence of a training run. Mesh is hashable; the
-    unsharded path's module-level jit cache plays this same role."""
+    at every evaluation cadence of a training run. Mesh hashes by content
+    (axis names + devices), so re-created identical meshes hit. Bounded:
+    a long-lived process cycling through many distinct meshes (tests,
+    notebooks) would otherwise pin every mesh's devices and compiled
+    executables forever — beyond the cap the oldest entry is dropped
+    (re-compiling later is correct, just slower)."""
     cache_key = (mesh, metrics, n_rep, exact)
     fn = _SHARDED_EVAL_CACHE.get(cache_key)
     if fn is None:
@@ -92,6 +97,8 @@ def _sharded_evaluate_cached(mesh, metrics: tuple, n_rep: int, exact: bool):
 
         fn = make_sharded_evaluate(mesh, metrics=metrics, n_rep=n_rep,
                                    exact=exact)
+        while len(_SHARDED_EVAL_CACHE) >= _SHARDED_EVAL_CACHE_MAX:
+            _SHARDED_EVAL_CACHE.pop(next(iter(_SHARDED_EVAL_CACHE)))
         _SHARDED_EVAL_CACHE[cache_key] = fn
     return fn
 

@@ -123,7 +123,8 @@ def _split_op_line(line: str) -> Optional[dict]:
             depth -= 1
         k += 1
     return {"name": name, "type": type_str, "opcode": opcode,
-            "operands": line[j:k - 1], "attrs": line[k:], "line": line}
+            "operands": line[j:k - 1], "attrs": line[k:], "line": line,
+            "root": bool(_re.match(r"\s*ROOT\s", line))}
 
 
 def _parse_hlo_computations(hlo_text: str) -> dict:
@@ -156,29 +157,18 @@ def _operand_names(op: dict) -> list[str]:
     return _re.findall(r"%([\w\.\-]+)", op["operands"])
 
 
-def _induction_init(op: dict, comps: dict, induction_name: str,
-                    cond_ops: list) -> int:
-    """Initial value of the while's induction variable, when visible.
-
-    `induction_name` is the compare's LHS in the condition computation;
-    jax lowers scans/fori to `get-tuple-element(param), index=K` there, and
-    the while's init operand is a `tuple(...)` whose K-th element is a
-    constant — fori_loop(start, N) puts `start` there, so the trip count is
-    N - start, not N. Returns 0 when the chain is not resolvable (the
-    canonical scan case and the conservative default)."""
-    m = None
-    for cop in cond_ops:
-        if cop["name"] == induction_name and \
-                cop["opcode"] == "get-tuple-element":
-            m = _re.search(r"index=(\d+)", cop["attrs"])
-            break
-    if m is None:
-        return 0
-    k = int(m.group(1))
+def _induction_init(op: dict, enclosing_ops: list, k: int) -> int:
+    """Initial value of tuple element `k` of the while's init operand,
+    when visible. jax's fori_loop(start, N) lowers the init as a
+    `tuple(...)` whose K-th element is `constant(start)` in the while's
+    ENCLOSING computation (HLO names are only unique per computation, so
+    resolution must not cross computations). Returns 0 when the chain is
+    not resolvable (the canonical scan case and the conservative
+    default)."""
     init_names = _operand_names(op)
     if not init_names:
         return 0
-    by_name = {o["name"]: o for ops in comps.values() for o in ops}
+    by_name = {o["name"]: o for o in enclosing_ops}
     init_op = by_name.get(init_names[0])
     if init_op is None or init_op["opcode"] != "tuple":
         return 0
@@ -193,34 +183,89 @@ def _induction_init(op: dict, comps: dict, induction_name: str,
     return 0
 
 
-def _while_trip_count(op: dict, comps: dict) -> Optional[int]:
+def _induction_gte_index(name: str, ops: list) -> Optional[int]:
+    """Tuple index K if op `name` is `get-tuple-element(parameter),
+    index=K` in `ops` (the canonical induction-variable read)."""
+    by_name = {o["name"]: o for o in ops}
+    op = by_name.get(name)
+    if op is None or op["opcode"] != "get-tuple-element":
+        return None
+    m = _re.search(r"index=(\d+)", op["attrs"])
+    src = by_name.get((_operand_names(op) or [""])[0])
+    if m is None or src is None or src["opcode"] != "parameter":
+        return None
+    return int(m.group(1))
+
+
+def _induction_stride(body_ops: list, k: int) -> Optional[int]:
+    """Per-iteration increment of induction tuple element `k` in the while
+    body, when visible. The canonical lowering is `add(get-tuple-element
+    (param, K), constant(c))`; a visible add with a NON-constant operand
+    means the induction is data-dependent (return None -> no static trip
+    count). When no such add is visible at all (e.g. folded into a
+    fusion), assume the canonical stride 1."""
+    by_name = {o["name"]: o for o in body_ops}
+    for op in body_ops:
+        if op["opcode"] != "add":
+            continue
+        operands = _operand_names(op)
+        if len(operands) != 2:
+            continue
+        sides = [by_name.get(o) for o in operands]
+        for a, b in ((sides[0], sides[1]), (sides[1], sides[0])):
+            if a is None or _induction_gte_index(a["name"], body_ops) != k:
+                continue
+            if b is not None and b["opcode"] == "constant":
+                m = _re.search(r"constant\((\d+)\)", b["line"])
+                if m and int(m.group(1)) > 0:
+                    return int(m.group(1))
+            return None  # update of element K is visibly non-canonical
+    return 1
+
+
+def _while_trip_count(op: dict, comps: dict,
+                      enclosing_ops: list) -> Optional[int]:
     """Trip count of a while op. CPU HLO records it as backend_config
     known_trip_count; TPU HLO does not, but jax scans/fori lower to a
-    canonical step-1 induction with a `compare(i, constant(N)),
-    direction=LT` ROOT in the condition — so the trip count is N minus the
-    induction init (0 for scans; fori_loop(start, N) bakes `start` into
-    the while's init tuple, which is subtracted when resolvable). Returns
-    None when neither pattern matches (no correction, conservative)."""
+    canonical induction: the condition's ROOT is `compare(
+    get-tuple-element(param, K), constant(N)), direction=LT` and the body
+    advances element K by a constant stride — so the trip count is
+    ceil((N - init_K) / stride) (init 0 / stride 1 for scans;
+    fori_loop(start, N) bakes `start` into the while's init tuple).
+    Requiring the compare to be the condition ROOT rejects compound
+    (data-dependent) conditions like `(i < N) & (err > eps)`, and a
+    visibly non-constant induction update rejects dynamic strides.
+    Returns None when the pattern doesn't match (no correction,
+    conservative)."""
     trip = _TRIP.search(op["attrs"])
     if trip:
         return int(trip.group(1))
     cond = _ref_comp(op["attrs"], "condition")
-    if cond is None:
+    body = _ref_comp(op["attrs"], "body")
+    if cond is None or body is None:
         return None
     cond_ops = comps.get(cond, [])
-    constants = {}
-    for cop in cond_ops:
-        if cop["opcode"] == "constant":
-            m = _re.search(r"constant\((\d+)\)", cop["line"])
-            if m:
-                constants[cop["name"]] = int(m.group(1))
-        if cop["opcode"] == "compare" and "direction=LT" in cop["attrs"]:
-            operands = _operand_names(cop)
-            if len(operands) == 2 and operands[1] in constants:
-                n = constants[operands[1]]
-                start = _induction_init(op, comps, operands[0], cond_ops)
-                return max(n - start, 0)
-    return None
+    root = next((c for c in cond_ops if c.get("root")), None)
+    if root is None or root["opcode"] != "compare" or \
+            "direction=LT" not in root["attrs"]:
+        return None
+    operands = _operand_names(root)
+    if len(operands) != 2:
+        return None
+    k = _induction_gte_index(operands[0], cond_ops)
+    by_name = {o["name"]: o for o in cond_ops}
+    limit_op = by_name.get(operands[1])
+    if k is None or limit_op is None or limit_op["opcode"] != "constant":
+        return None
+    m = _re.search(r"constant\((\d+)\)", limit_op["line"])
+    if m is None:
+        return None
+    n = int(m.group(1))
+    stride = _induction_stride(comps.get(body, []), k)
+    if stride is None:
+        return None
+    start = _induction_init(op, enclosing_ops, k)
+    return max(-(-(n - start) // stride), 0)
 
 
 def _op_flops(op: dict, shapes: dict) -> float:
@@ -286,7 +331,9 @@ def _comp_flops(name: str, comps: dict, memo: dict) -> float:
                 total += _comp_flops(callee, comps, memo)
         elif code == "while":
             body = _ref_comp(op["attrs"], "body")
-            n = _while_trip_count(op, comps) or 1
+            n = _while_trip_count(op, comps, ops)
+            if n is None:
+                n = 1  # unknown trip: count the body once, like XLA does
             if body:
                 total += n * _comp_flops(body, comps, memo)
     memo[name] = total
@@ -305,7 +352,7 @@ def scan_flops_undercount(hlo_text: str) -> float:
             if op["opcode"] != "while":
                 continue
             body = _ref_comp(op["attrs"], "body")
-            n = _while_trip_count(op, comps)
+            n = _while_trip_count(op, comps, ops)
             if body is None or n is None:
                 continue
             if n > 1:

@@ -339,3 +339,124 @@ ENTRY %main.9 () -> f32[] {
     body_conv = 2 * (16 * 7 * 7 * 256) * (3 * 3 * 128)
     missing = mfu_lib.scan_flops_undercount(hlo)
     assert missing == 41 * body_conv
+
+
+def _while_hlo(cond_root: str, next_update: str, init_extra: str = "",
+               init_elems: str = "tuple()") -> str:
+    """Canonical single-while HLO (one [8,128]x[128,128] dot per trip)
+    with a pluggable condition root and induction update — the template
+    for the trip-count edge-case tests below."""
+    return f"""HloModule jit_edge, entry_computation_layout={{()->f32[]}}
+
+%body.2 (tup: (s32[], f32[8,128], f32[128,128])) -> (s32[], f32[8,128], f32[128,128]) {{
+  %tup = (s32[], f32[8,128], /*index=2*/f32[128,128]) parameter(0)
+  %i = s32[] get-tuple-element(%tup), index=0
+  %h = f32[8,128] get-tuple-element(%tup), index=1
+  %w = f32[128,128] get-tuple-element(%tup), index=2
+  %d = f32[8,128] dot(%h, %w), lhs_contracting_dims={{1}}, rhs_contracting_dims={{0}}
+  {next_update}
+  ROOT %out = (s32[], f32[8,128], /*index=2*/f32[128,128]) tuple(%next, %d, %w)
+}}
+
+%cond.3 (tup.1: (s32[], f32[8,128], f32[128,128])) -> pred[] {{
+  %limit = s32[] constant(84)
+  %tup.1 = (s32[], f32[8,128], /*index=2*/f32[128,128]) parameter(0)
+  %iv = s32[] get-tuple-element(%tup.1), index=0
+  {cond_root}
+}}
+
+ENTRY %main.9 () -> f32[] {{
+  {init_extra}
+  %init = (s32[], f32[8,128], /*index=2*/f32[128,128]) {init_elems}
+  %loop = (s32[], f32[8,128], /*index=2*/f32[128,128]) while(%init), condition=%cond.3, body=%body.2
+  ROOT %r = f32[] constant(0)
+}}
+"""
+
+
+_EDGE_BODY_DOT = 2 * 8 * 128 * 128
+
+
+def test_while_trip_count_rejects_compound_condition():
+    """A while whose condition is `(i < N) & (something dynamic)` has a
+    DATA-DEPENDENT trip count; the canonical-pattern parser must not
+    treat the embedded `compare LT` as a static trip count (it converges
+    whenever the other conjunct flips), or corrected MFU overstates
+    executed FLOPs (round-4 review finding). The compare is present but
+    NOT the condition root -> no correction."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    cond = """%lt = pred[] compare(%iv, %limit), direction=LT
+  %flag = pred[] constant(true)
+  ROOT %and.1 = pred[] and(%lt, %flag)"""
+    hlo = _while_hlo(cond, "%one = s32[] constant(1)\n  %next = s32[] add(%i, %one)")
+    assert mfu_lib.scan_flops_undercount(hlo) == 0.0
+
+
+def test_while_trip_count_strided_induction():
+    """`i += 2` toward `i < 84` runs 42 trips, not 84: the stride is read
+    from the body's `add(i, constant)` so the correction is
+    ceil((N-start)/stride)-1 bodies, never N-1 (round-4 review finding)."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    cond = "ROOT %lt = pred[] compare(%iv, %limit), direction=LT"
+    hlo = _while_hlo(cond, "%two = s32[] constant(2)\n  %next = s32[] add(%i, %two)")
+    assert mfu_lib.scan_flops_undercount(hlo) == (42 - 1) * _EDGE_BODY_DOT
+
+
+def test_while_trip_count_dynamic_stride_rejected():
+    """An induction update `i += step` with a runtime `step` (here another
+    tuple element) has no static trip count; the parser must bail rather
+    than assume stride 1."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    cond = "ROOT %lt = pred[] compare(%iv, %limit), direction=LT"
+    # the "increment" reads tuple element 0 plus a DOT-derived scalar: not canonical
+    update = """%hsum = s32[] get-tuple-element(%tup), index=0
+  %dyn = s32[] multiply(%hsum, %hsum)
+  %next = s32[] add(%i, %dyn)"""
+    hlo = _while_hlo(cond, update)
+    assert mfu_lib.scan_flops_undercount(hlo) == 0.0
+
+
+def test_while_trip_count_induction_init_scoped_to_enclosing_computation():
+    """HLO instruction names are unique only per computation: a same-named
+    `tuple` op in ANOTHER computation must not shadow the while's real
+    init when resolving fori_loop's start value (round-4 review finding).
+    Here a decoy computation defines %init = tuple(constant(80), ...);
+    the real init in ENTRY starts at 2, so the trip count is 82 (not 4)."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    cond = "ROOT %lt = pred[] compare(%iv, %limit), direction=LT"
+    update = "%one = s32[] constant(1)\n  %next = s32[] add(%i, %one)"
+    init_extra = """%start = s32[] constant(2)
+  %h0 = f32[8,128] constant(0)
+  %w0 = f32[128,128] constant(0)"""
+    hlo = _while_hlo(cond, update, init_extra, "tuple(%start, %h0, %w0)")
+    decoy = """
+%decoy.7 (p: s32[]) -> (s32[], f32[8,128], f32[128,128]) {
+  %start = s32[] constant(80)
+  %h0 = f32[8,128] constant(0)
+  %w0 = f32[128,128] constant(0)
+  ROOT %init = (s32[], f32[8,128], /*index=2*/f32[128,128]) tuple(%start, %h0, %w0)
+}
+"""
+    # splice the decoy BEFORE ENTRY so later-parsed globals would win in a
+    # cross-computation name map
+    hlo = hlo.replace("ENTRY %main.9", decoy + "\nENTRY %main.9")
+    assert mfu_lib.scan_flops_undercount(hlo) == (82 - 1) * _EDGE_BODY_DOT
+
+
+def test_while_trip_count_zero_trip_contributes_nothing():
+    """fori_loop(84, 84)-style zero-trip loops must not be coerced to one
+    body of FLOPs by the nested-while weighting (round-4 review finding):
+    trip 0 -> no correction and a nested weighting of 0."""
+    from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
+
+    cond = "ROOT %lt = pred[] compare(%iv, %limit), direction=LT"
+    update = "%one = s32[] constant(1)\n  %next = s32[] add(%i, %one)"
+    init_extra = """%start = s32[] constant(84)
+  %h0 = f32[8,128] constant(0)
+  %w0 = f32[128,128] constant(0)"""
+    hlo = _while_hlo(cond, update, init_extra, "tuple(%start, %h0, %w0)")
+    assert mfu_lib.scan_flops_undercount(hlo) == 0.0
