@@ -59,7 +59,10 @@ def init_params(key: jax.Array, hp: ActionHParams) -> dict:
     ks = jax.random.split(key, 5)
     params = {}
     if hp.use_gazemap:
-        params["gaze_proj_W"] = 0.1 * jax.random.normal(ks[0], (2401, 49))
+        # reference `basic_graphs.py:105-106` 'normal' init =
+        # tf.truncated_normal(stddev=0.05) for the [2401,49] projection
+        params["gaze_proj_W"] = init.truncated_normal(ks[0], (2401, 49),
+                                                      stddev=0.05)
     if hp.head == "SVM":
         params["svm_W"] = init.zeros((C3D_FLAT, hp.num_classes))
         params["svm_b"] = init.zeros((hp.num_classes,))

@@ -85,75 +85,107 @@ def _encode_field(field: int, wire: int, payload: bytes) -> bytes:
 
 # ---------------------------------------------------------------- parsing
 
+def _try_parse_blobshape(value: memoryview) -> Optional[list[int]]:
+    """Parse field-7 bytes as BlobShape{dim=1 repeated varint}, or None.
+
+    Field 7 is AMBIGUOUS across schema generations: modern caffe puts
+    `shape` there, but the C3D-era proto puts `diff` (packed floats)
+    there — float bytes usually fail to walk as submessage fields, and
+    when they coincidentally do, the caller's shape-product check below
+    rejects them. Returns None unless the bytes cleanly parse as
+    positive dims."""
+    dims: list[int] = []
+    try:
+        for f, w, v in _iter_fields(value):
+            if f != 1:
+                return None  # BlobShape has only field 1
+            if w == 0:                       # unpacked varint
+                dims.append(v)
+            elif w == 2:                     # packed varints
+                pos = 0
+                while pos < len(v):
+                    dim, pos = _read_varint(v, pos)
+                    dims.append(dim)
+            else:
+                return None
+    except (ValueError, IndexError):
+        return None
+    if not dims or any(d <= 0 for d in dims):
+        return None
+    return dims
+
+
 def _parse_blob(buf: memoryview, legacy_4d: bool = False) -> np.ndarray:
     """BlobProto bytes -> array, across the three schema generations:
 
       C3D/V1 era:  num=1 channels=2 length=3 height=4 width=5 (varints),
-                   data = 6 (packed or unpacked float)
-      modern/V0:   shape = 7 (BlobShape{dim=1 repeated varint}),
-                   data = 5 (or 6 in V0, packed float); legacy 4-D dims
+                   data = 6 (packed or unpacked float), diff = 7
+      modern:      shape = 7 (BlobShape{dim=1 repeated varint}),
+                   data = 5, diff = 6 (packed float); legacy 4-D dims
                    num=1 channels=2 height=3 width=4
 
-    The field-3/4 varints are ambiguous between the 5-D (`length`) and
-    4-D layouts, so the caller passes `legacy_4d` from the NetParameter
-    framing (modern/V0 BlobProtos are 4-D). A `shape` submessage always
-    wins.
+    Fields 5/6/7 therefore collide between eras (modern `diff` = C3D
+    `data`; C3D `diff` = modern `shape`), so float payloads are
+    accumulated PER FIELD and the era is resolved afterwards by which
+    (shape, payload) pair's sizes agree — a snapshot that carries diffs
+    never corrupts the weights. The field-3/4 varints are ambiguous
+    between the 5-D (`length`) and 4-D layouts, so the caller passes
+    `legacy_4d` from the NetParameter framing.
     """
     dims = {}
-    data = None  # np.ndarray (packed) or list (unpacked entries)
+    floats: dict[int, object] = {}  # field -> ndarray (packed) or list
     shape7 = None
     for field, wire, value in _iter_fields(buf):
         if wire == 0 and 1 <= field <= 5:
             dims[field] = value
         elif field in (5, 6) and wire == 2:
-            # packed float data: field 6 (C3D/V1) or field 5 (modern).
-            # A wire-2 field 5 cannot be the `width` varint, so there is
-            # no clash with the 5-D dims. The proto wire format allows a
-            # packed repeated field to be SPLIT across several chunks
-            # (streamed/merged messages) — concatenate instead of
-            # overwriting earlier chunks.
+            # packed float payload: data(6)/diff(7) in the C3D era,
+            # data(5)/diff(6) in modern files. A wire-2 field 5 cannot be
+            # the `width` varint, so there is no clash with the 5-D dims.
+            # A packed repeated field may be SPLIT across several chunks
+            # (streamed/merged messages) — concatenate within the field.
             chunk = np.frombuffer(bytes(value), dtype="<f4")
-            if isinstance(data, np.ndarray):
-                data = np.concatenate([data, chunk])
-            elif isinstance(data, list):
-                data.extend(chunk.tolist())
+            prev = floats.get(field)
+            if isinstance(prev, np.ndarray):
+                floats[field] = np.concatenate([prev, chunk])
+            elif isinstance(prev, list):
+                prev.extend(chunk.tolist())
             else:
-                data = chunk
+                floats[field] = chunk
         elif field in (5, 6) and wire == 5:        # unpacked float entry
             # accumulate in a list: np.append per element is O(n^2) and
             # takes hours on conv5b/fc-scale blobs
-            if not isinstance(data, list):
-                data = list(data) if data is not None else []
-            data.append(struct.unpack("<f", value)[0])
+            prev = floats.get(field)
+            if not isinstance(prev, list):
+                prev = list(prev) if prev is not None else []
+                floats[field] = prev
+            prev.append(struct.unpack("<f", value)[0])
         elif field == 7 and wire == 2:
-            # BlobShape { dim = 1 repeated varint, packed or not } — parse
-            # regardless of field order (serializers commonly emit data=5
-            # before shape=7)
-            shape7 = []
-            for f, w, v in _iter_fields(value):
-                if f != 1:
-                    continue
-                if w == 0:                       # unpacked varint
-                    shape7.append(v)
-                elif w == 2:                     # packed varints
-                    pos = 0
-                    while pos < len(v):
-                        dim, pos = _read_varint(v, pos)
-                        shape7.append(dim)
-    if data is None:
+            shape7 = _try_parse_blobshape(value)   # None when it's a diff
+    payloads = {f: (np.asarray(v, np.float32) if isinstance(v, list) else v)
+                for f, v in floats.items()}
+    if not payloads:
         raise ValueError("blob without data")
-    if isinstance(data, list):
-        data = np.asarray(data, np.float32)
     if shape7:
-        return data.reshape(shape7).astype(np.float32)
+        n = int(np.prod(shape7))
+        # modern layout: data=5 (diff=6 ignored); fall back to field 6
+        # only when 5 is absent (V0-era writers that kept data at 6)
+        for f in (5, 6):
+            if f in payloads and payloads[f].size == n:
+                return payloads[f].reshape(shape7).astype(np.float32)
+    # C3D/V1/V0 dim headers: data lives at 6 (C3D) or 5; when BOTH float
+    # fields are present without a usable shape, field 6 is the C3D-era
+    # data and field 5 would be modern data — try each against the dims
     shape5 = [dims.get(i, 1) for i in range(1, 6)]  # 5-D [n,c,l,h,w]
     shape4 = [dims.get(i, 1) for i in range(1, 5)]  # legacy 4-D [n,c,h,w]
-    candidates = ([shape4, shape5] if (legacy_4d and 5 not in dims)
-                  else [shape5, shape4])
-    for shape in candidates:
-        if int(np.prod(shape)) == data.size:
-            return data.reshape(shape).astype(np.float32)
+    shapes = ([shape4, shape5] if (legacy_4d and 5 not in dims)
+              else [shape5, shape4])
+    for shape in shapes:
+        for f in (6, 5):
+            if f in payloads and payloads[f].size == int(np.prod(shape)):
+                return payloads[f].reshape(shape).astype(np.float32)
     # header/dim mismatch: return flat rather than guessing
+    data = payloads.get(6, payloads.get(5))
     log.warn("blob dims %s != data size %d; leaving flat", shape5,
              data.size)
     return data.astype(np.float32)

@@ -56,8 +56,15 @@ def iter_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
+            if not header:
+                return  # clean EOF on a record boundary
             if len(header) < 12:
-                return
+                # 1-11 bytes left: the file was truncated MID-HEADER
+                # (interrupted copy) — fail like the mid-payload case
+                # instead of silently yielding an incomplete dataset
+                raise IOError(
+                    f"truncated TFRecord: {len(header)} trailing header "
+                    f"bytes (need 12)")
             length, crc_len = struct.unpack("<QI", header)
             if verify_crc and _masked_crc(header[:8]) != crc_len:
                 raise IOError("corrupt TFRecord length crc")

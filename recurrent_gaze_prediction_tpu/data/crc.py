@@ -228,10 +228,15 @@ def split_foldernames(dataset: str, layout: DatasetLayout) -> dict:
 
 
 def _normalize_pupils(pupil_windows: np.ndarray) -> np.ndarray:
-    """Z-score then min-max shift (`crc_input_data_seq.py:612-619`; the
-    reference's second step has a precedence bug `x - minx/(maxx-minx)` —
-    here the intended (x - minx)/(maxx - minx) is applied)."""
-    z = (pupil_windows - pupil_windows.mean()) / max(pupil_windows.std(), 1e-12)
+    """Z-score per TIME INDEX then global min-max shift
+    (`crc_input_data_seq.py:612-619`): the reference calls
+    `stats.zscore(asarray(pupil_list))` on an [N_windows, 42] array, and
+    scipy's default axis=0 standardizes each time position independently —
+    matched here. Its second step has a precedence bug
+    `x - minx/(maxx-minx)`; the intended (x - minx)/(maxx - minx) is
+    applied instead (documented divergence, PARITY.md)."""
+    std = pupil_windows.std(axis=0)
+    z = (pupil_windows - pupil_windows.mean(axis=0)) / np.maximum(std, 1e-12)
     lo, hi = z.min(), z.max()
     if hi > lo:
         z = (z - lo) / (hi - lo)

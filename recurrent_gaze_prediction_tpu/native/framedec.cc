@@ -63,7 +63,16 @@ int decode_file(const char* path, std::vector<unsigned char>* pixels,
   *width = static_cast<int>(cinfo.output_width);
   *height = static_cast<int>(cinfo.output_height);
   const size_t stride = cinfo.output_width * 3;
-  pixels->resize(stride * cinfo.output_height);
+  try {
+    pixels->resize(stride * cinfo.output_height);
+  } catch (const std::bad_alloc&) {
+    // a corrupt header may claim up to 65535x65535 (~12.9 GB RGB);
+    // clean up here so nothing leaks and no exception crosses the
+    // thread boundary (which would std::terminate the process)
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 3;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = pixels->data() + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -126,7 +135,18 @@ int framedec_decode_batch(const char** paths, int n, int out_h, int out_w,
     std::vector<unsigned char> pixels;
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       int w = 0, h = 0;
-      int rc = decode_file(paths[i], &pixels, &w, &h);
+      int rc;
+      try {
+        rc = decode_file(paths[i], &pixels, &w, &h);
+      } catch (const std::exception&) {
+        // pixels.resize can throw bad_alloc (a corrupt header may claim
+        // up to 65535x65535 -> ~12.9 GB); an exception escaping a
+        // std::thread calls std::terminate and kills the whole Python
+        // process, so convert it into this file's failure status.
+        std::vector<unsigned char>().swap(pixels);  // release any partial
+        rc = 3;
+      }
+      if (rc == 0 && (w <= 0 || h <= 0)) rc = 4;  // defensive: empty frame
       statuses[i] = rc;
       if (rc != 0) {
         failures.fetch_add(1);

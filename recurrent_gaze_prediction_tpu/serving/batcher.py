@@ -137,6 +137,16 @@ class DynamicBatcher:
             self._dispatch(batch)
 
     def _dispatch(self, batch: Sequence) -> None:
+        # Claim every request up front: set_running_or_notify_cancel()
+        # returns False for a Future the caller already cancelled (e.g.
+        # after a result() timeout) and atomically blocks cancel() for the
+        # rest — so a cancelled request is dropped instead of making
+        # set_result raise InvalidStateError mid-loop, which would fail
+        # every co-batched neighbour after it.
+        batch = [(arrs, fut) for arrs, fut in batch
+                 if fut.set_running_or_notify_cancel()]
+        if not batch:
+            return
         try:
             n = len(batch)
             bucket = _bucket(n, self._max_batch)

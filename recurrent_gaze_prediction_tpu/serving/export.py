@@ -47,12 +47,24 @@ _SEP = "/"  # path separator inside npz keys
 # ----------------------------------------------------------- params codec
 
 def flatten_params(params: Any) -> dict[str, np.ndarray]:
-    """Nested param dicts -> {"a/b/c": array} for npz storage."""
+    """Nested param dicts -> {"a/b/c": array} for npz storage.
+
+    Dict-of-dicts ONLY: `unflatten_params` reconstructs mappings, so a
+    list/tuple node would export fine but come back as a dict with string
+    keys — a pytree-structure mismatch (or, for >=10 elements, a silent
+    '0','1','10','2' leaf permutation) at SERVE time. Rejecting it here
+    turns a dead-on-arrival bundle into an export-time error."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     out = {}
     for path, leaf in flat:
-        key = _SEP.join(
-            str(p.key) if hasattr(p, "key") else str(p.idx) for p in path)
+        for p in path:
+            if not hasattr(p, "key"):
+                raise TypeError(
+                    f"params must be nested dicts for bundle export; found "
+                    f"a non-dict node at {jax.tree_util.keystr(path)} "
+                    f"(entry {p!r}) — unflatten_params cannot reconstruct "
+                    f"it")
+        key = _SEP.join(str(p.key) for p in path)
         out[key] = np.asarray(leaf)
     return out
 

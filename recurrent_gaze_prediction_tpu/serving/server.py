@@ -45,14 +45,19 @@ class GazeServer:
                  host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 32, max_wait_ms: float = 5.0,
                  input_ndims: Optional[dict] = None,
+                 input_shapes: Optional[dict] = None,
                  max_body_bytes: int = 256 * 1024 * 1024,
                  request_timeout: float = 120.0):
-        """`input_ndims` maps input key -> expected UNBATCHED ndim; a
-        request violating it gets its own 400 instead of poisoning the
-        whole micro-batch (every co-batched Future fails together when
-        np.stack or the program rejects one clip's shapes)."""
+        """`input_ndims` maps input key -> expected UNBATCHED ndim, and
+        `input_shapes` maps key -> expected UNBATCHED shape tuple (None
+        entries are wildcards); a request violating either gets its own
+        400 instead of poisoning the whole micro-batch (every co-batched
+        Future fails together when np.stack or the program rejects one
+        clip's shapes)."""
         self.input_keys = tuple(input_keys)
         self.input_ndims = dict(input_ndims or {})
+        self.input_shapes = {k: tuple(v)
+                             for k, v in (input_shapes or {}).items()}
         self.batcher = DynamicBatcher(predict_fn, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
         server = self
@@ -109,6 +114,15 @@ class GazeServer:
                                 "error": f"input {k} must be {want}-D "
                                          f"(ONE clip, no batch dim); got "
                                          f"shape {list(a.shape)}"})
+                        want_shape = server.input_shapes.get(k)
+                        if want_shape is not None and (
+                                len(a.shape) != len(want_shape) or any(
+                                    w is not None and d != w
+                                    for d, w in zip(a.shape, want_shape))):
+                            return self._reply_json(400, {
+                                "error": f"input {k} must have unbatched "
+                                         f"shape {list(want_shape)} (None ="
+                                         f" any); got {list(a.shape)}"})
                 except Exception as e:
                     return self._reply_json(400, {"error": str(e)})
                 try:
@@ -173,15 +187,23 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
     from .export import load_bundle
 
     bundle = load_bundle(bundle_dir)
+    cfg = bundle.model_config
+    meta = bundle.manifest["programs"].get(program, {})
     if program == "predict":
         fn, keys = bundle.predict, ("frames", "c3d")
         ndims = {"frames": 4, "c3d": 4}  # [T,H,W,3] / [T,1024,7,7]
-    elif program == "fused":
-        fn, keys = bundle.predict_fused, ("video",)
+        t = meta.get("t", cfg.n_lstm_steps)
+        shapes = {"frames": (t, cfg.image_height, cfg.image_width, 3),
+                  "c3d": (t, cfg.dim_feature, 7, 7)}
+    elif program in ("fused", "fused_int8"):
+        fn = (bundle.predict_fused if program == "fused"
+              else bundle.predict_fused_int8)
+        keys = ("video",)
         ndims = {"video": 4}             # [F,H,W,3]
-    elif program == "fused_int8":
-        fn, keys = bundle.predict_fused_int8, ("video",)
-        ndims = {"video": 4}             # [F,H,W,3]
+        hw = meta.get("video_hw")
+        shapes = {"video": (meta.get("num_frames"),) + tuple(hw or (None,
+                                                                    None))
+                  + (3,)}
     else:
         raise ValueError(
             f"program must be predict|fused|fused_int8, got {program}")
@@ -189,4 +211,5 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
         raise ValueError(f"bundle has no '{program}' program "
                          f"(has: {bundle.programs})")
     return GazeServer(fn, keys, host=host, port=port, max_batch=max_batch,
-                      max_wait_ms=max_wait_ms, input_ndims=ndims)
+                      max_wait_ms=max_wait_ms, input_ndims=ndims,
+                      input_shapes=shapes)

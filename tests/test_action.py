@@ -89,7 +89,11 @@ def test_nn_classifier_learns(use_gazemap):
             yield {k: v[idx] for k, v in data.items()}
 
     losses = clf.fit(batches())
-    assert losses[-1] < losses[0]
+    # per-step losses are single random 8-of-64 batches and Adam at this
+    # lr oscillates once the tiny corpus is memorized (mAP below is the
+    # real quality bar), so assert the optimizer clearly descended rather
+    # than comparing two arbitrary single-batch draws
+    assert min(losses) < 0.5 * losses[0]
     scores = clf.predict({k: v[:16] for k, v in data.items()})
     result = evaluate(data["labels"][:16], scores)
     assert result["mean_average_precision"] > 0.3  # well above 1/13 chance

@@ -724,6 +724,25 @@ def test_tfrecord_truncated_file_raises_ioerror(tmp_path):
         list(tfrecord.iter_tfrecords(path, verify_crc=False))
 
 
+def test_tfrecord_truncated_mid_header_raises_ioerror(tmp_path):
+    """A file cut off 1-11 bytes INTO a record header must raise like the
+    mid-payload case, not silently pass as clean EOF (round-4 review:
+    an interrupted copy yielded an incomplete dataset as success)."""
+    from recurrent_gaze_prediction_tpu.compat import tfrecord
+
+    path = str(tmp_path / "t.tfrecord")
+    tfrecord.write_tfrecords(path, [b"x" * 100, b"y" * 100])
+    blob = open(path, "rb").read()
+    # keep record 1 fully + 6 bytes of record 2's 12-byte header
+    cut = 12 + 100 + 4 + 6
+    open(path, "wb").write(blob[:cut])
+    records = []
+    with pytest.raises(IOError, match="header"):
+        for rec in tfrecord.iter_tfrecords(path):
+            records.append(rec)
+    assert records == [b"x" * 100]
+
+
 def test_caffemodel_blob_data_split_across_chunks():
     """The proto wire format allows packed repeated data split into
     several length-delimited chunks; the parser must concatenate them
@@ -746,6 +765,56 @@ def test_caffemodel_blob_data_split_across_chunks():
            chunk_field(6, vals[10:].tobytes()))
     arr = cm._parse_blob(memoryview(buf), legacy_4d=False)
     assert arr.shape == (1, 2, 3, 2, 2)
+    np.testing.assert_array_equal(arr.ravel(), vals)
+
+
+def test_caffemodel_blob_with_c3d_era_diff_field():
+    """A C3D-era snapshot written with diffs puts packed FLOATS at field 7
+    (the modern schema's `shape` slot); the parser must not interpret
+    them as BlobShape dims (round-4 review: that crashed the reshape or
+    corrupted shapes) — weights parse from field 6, diff ignored."""
+    from recurrent_gaze_prediction_tpu.compat import caffemodel as cm
+
+    vals = np.arange(24, dtype="<f4")
+    diff = np.full(24, 0.5, dtype="<f4")
+
+    def varint_field(field, value):
+        return bytes([(field << 3) | 0, value])
+
+    def chunk_field(field, payload):
+        assert len(payload) < 128
+        return bytes([(field << 3) | 2, len(payload)]) + payload
+
+    buf = (varint_field(1, 1) + varint_field(2, 2) + varint_field(3, 3) +
+           varint_field(4, 2) + varint_field(5, 2) +
+           chunk_field(6, vals.tobytes()) +
+           chunk_field(7, diff.tobytes()))
+    arr = cm._parse_blob(memoryview(buf), legacy_4d=False)
+    assert arr.shape == (1, 2, 3, 2, 2)
+    np.testing.assert_array_equal(arr.ravel(), vals)
+
+
+def test_caffemodel_blob_modern_with_diff_field():
+    """Modern caffe: data=5, diff=6, shape=7. A blob saved with diffs must
+    resolve `data` from field 5 via the shape product (round-4 review:
+    fields 5 and 6 were concatenated, doubling the payload and leaving
+    the blob flat)."""
+    from recurrent_gaze_prediction_tpu.compat import caffemodel as cm
+
+    vals = np.arange(24, dtype="<f4")
+    diff = np.full(24, 0.25, dtype="<f4")
+
+    def chunk_field(field, payload):
+        assert len(payload) < 128
+        return bytes([(field << 3) | 2, len(payload)]) + payload
+
+    # BlobShape { dim=1 packed varints [2, 3, 4] }
+    shape_msg = bytes([(1 << 3) | 2, 3, 2, 3, 4])
+    buf = (chunk_field(5, vals.tobytes()) +
+           chunk_field(6, diff.tobytes()) +
+           chunk_field(7, shape_msg))
+    arr = cm._parse_blob(memoryview(buf), legacy_4d=True)
+    assert arr.shape == (2, 3, 4)
     np.testing.assert_array_equal(arr.ravel(), vals)
 
 

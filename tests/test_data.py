@@ -334,3 +334,26 @@ def test_iter_batches_covers_tail_exactly_once():
     # max_instances caps INSTANCES, including a short tail
     batches = list(ds.iter_batches(4, max_instances=5))
     assert [len(b["clipnames"]) for b in batches] == [4, 1]
+
+
+def test_normalize_pupils_matches_reference_zscore_axis():
+    """The reference normalizes pupils with `stats.zscore(asarray(list))`
+    on an [N_windows, T] array — scipy's DEFAULT axis=0, i.e. each time
+    position standardized independently (round-4 review: a global
+    z-score silently diverged). Pin against scipy + the reference's
+    min-max step with its precedence bug fixed (documented divergence)."""
+    import scipy.stats
+
+    from recurrent_gaze_prediction_tpu.data.crc import _normalize_pupils
+
+    rng = np.random.RandomState(3)
+    # time positions with very different statistics so axis matters
+    windows = (rng.rand(20, 8) * np.linspace(1, 9, 8) +
+               np.linspace(0, 4, 8)).astype(np.float64)
+
+    z = scipy.stats.zscore(windows)          # reference line, axis=0
+    lo, hi = z.min(), z.max()
+    want = (z - lo) / (hi - lo)              # intended (fixed) min-max
+
+    got = _normalize_pupils(windows)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)

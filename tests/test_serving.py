@@ -381,3 +381,76 @@ def test_batcher_close_does_not_steal_sentinel_from_slow_worker():
     # and the worker exits at the sentinel instead of blocking forever
     b._worker.join(timeout=10)
     assert not b._worker.is_alive()
+
+
+def test_dynamic_batcher_cancelled_future_does_not_poison_batch():
+    """A caller that times out and cancels its Future (PENDING futures are
+    cancellable) must not make the dispatcher's set_result raise
+    InvalidStateError — which previously converted into failures for
+    every co-batched neighbour after it (round-4 review)."""
+    import threading
+
+    from recurrent_gaze_prediction_tpu.serving import DynamicBatcher
+
+    release = threading.Event()
+
+    def predict(x):
+        release.wait(timeout=30)
+        return x * 2.0
+
+    # max_wait covers the window where we cancel fut0 BEFORE dispatch runs
+    with DynamicBatcher(predict, max_batch=4, max_wait_ms=300.0) as batcher:
+        fut0 = batcher.submit(np.full((2,), 1.0, np.float32))
+        fut1 = batcher.submit(np.full((2,), 2.0, np.float32))
+        fut2 = batcher.submit(np.full((2,), 3.0, np.float32))
+        assert fut0.cancel()  # client gave up while still queued
+        release.set()
+        np.testing.assert_allclose(fut1.result(timeout=30), [4.0, 4.0])
+        np.testing.assert_allclose(fut2.result(timeout=30), [6.0, 6.0])
+    assert fut0.cancelled()
+
+
+def test_flatten_params_rejects_non_dict_nodes():
+    """unflatten_params only rebuilds dict-of-dicts; a list/tuple node
+    must fail at EXPORT time with a clear error, not produce a bundle
+    that dies (or permutes leaves) at serve time (round-4 review)."""
+    from recurrent_gaze_prediction_tpu.serving.export import flatten_params
+
+    with pytest.raises(TypeError, match="non-dict node"):
+        flatten_params({"a": {"b": np.zeros(2)}, "c": [np.ones(2)] * 2})
+    # plain dict-of-dicts still flattens
+    flat = flatten_params({"a": {"b": np.zeros(2)}})
+    assert list(flat) == ["a/b"]
+
+
+def test_http_server_rejects_wrong_shape_without_poisoning_batch():
+    """A right-ndim / wrong-shape request gets its own 400 from the
+    manifest-derived shape check instead of poisoning the micro-batch
+    (round-4 review)."""
+    import io
+    import urllib.request
+
+    from recurrent_gaze_prediction_tpu.serving.server import GazeServer
+
+    def predict(frames):
+        return frames.sum(axis=(1, 2, 3, 4), keepdims=False)
+
+    with GazeServer(predict, ("frames",), input_ndims={"frames": 4},
+                    input_shapes={"frames": (4, 9, 9, 3)},
+                    max_wait_ms=1.0).start() as server:
+        host, port = server.address
+
+        def post(arr):
+            buf = io.BytesIO()
+            np.savez(buf, frames=arr)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/predict", data=buf.getvalue(),
+                method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post(np.zeros((6, 9, 9, 3), np.float32)) == 400  # T=6 != 4
+        assert post(np.zeros((4, 9, 9, 3), np.float32)) == 200
