@@ -378,6 +378,11 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
     reports (batched requests/s, p50 ms, p99 ms, direct requests/s) where
     direct = the same requests one B=1 predict at a time.
 
+    Requests ride the bfloat16 WIRE (`export_serving --wire_dtype
+    bfloat16`, the recommended TPU serving config): half the
+    host->device transfer of the f32 wire, with the map correlation vs
+    f32 inputs measured alongside (`serving_wire_map_corr`).
+
     Latencies here are END-TO-END WALL CLOCK including the host->device
     transfer of each request's features — that is what a server's client
     observes — so on a tunneled/relay backend the absolute numbers carry
@@ -398,8 +403,18 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
         return model.predict(p, frames, c3d)
 
     rng = np.random.RandomState(0)
-    frames1 = rng.rand(t, 98, 98, 3).astype(np.float32)
-    c3d1 = rng.rand(t, 1024, 7, 7).astype(np.float32)
+    bf16 = np.dtype("bfloat16")
+    frames1 = rng.rand(t, 98, 98, 3).astype(np.float32).astype(bf16)
+    c3d1 = rng.rand(t, 1024, 7, 7).astype(np.float32).astype(bf16)
+
+    # accuracy of the bf16 wire vs the same clip on the f32 wire
+    maps_wire = np.asarray(predict(params, frames1[None], c3d1[None]),
+                           np.float32)
+    maps_f32 = np.asarray(predict(
+        params, frames1[None].astype(np.float32),
+        c3d1[None].astype(np.float32)), np.float32)
+    wire_corr = float(np.corrcoef(maps_wire.ravel(),
+                                  maps_f32.ravel())[0, 1])
 
     # prewarm every bucket the batcher can dispatch (_bucket = next power
     # of two CAPPED at max_batch — a non-power-of-two max_batch is itself
@@ -480,7 +495,7 @@ def bench_serving(n_clients: int = 8, requests_per_client: int = 4,
     lat = np.sort(np.asarray(latencies)) * 1e3
     p50 = float(lat[len(lat) // 2])
     p99 = float(lat[min(int(len(lat) * 0.99), len(lat) - 1)])
-    return rps, p50, p99, direct_rps, device_amortization
+    return rps, p50, p99, direct_rps, device_amortization, wire_corr
 
 
 def bench_metric_eval(n: int = 4200, iters: int = 2000):
@@ -600,12 +615,12 @@ def main() -> None:
         stream_fps, stream_speedup = None, None
     try:
         (serve_rps, serve_p50, serve_p99, serve_direct_rps,
-         serve_amort) = bench_serving()
+         serve_amort, serve_wire_corr) = bench_serving()
     except Exception as e:
         print(f"# serving bench skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
         serve_rps = serve_p50 = serve_p99 = serve_direct_rps = None
-        serve_amort = None
+        serve_amort = serve_wire_corr = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -630,6 +645,7 @@ def main() -> None:
         "serving_p99_ms": _num(serve_p99, 1),
         "serving_direct_requests_per_sec": _num(serve_direct_rps, 2),
         "serving_batch_device_amortization": _num(serve_amort, 2),
+        "serving_wire_map_corr": _num(serve_wire_corr, 4),
         "device": jax.devices()[0].device_kind,
     }))
 

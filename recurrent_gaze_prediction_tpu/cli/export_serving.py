@@ -56,6 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--static_batch", action="store_true",
                         help="export with batch fixed at 1 instead of "
                              "symbolic")
+    parser.add_argument("--wire_dtype", default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="input dtype of the predict/stream programs' "
+                             "frame+feature tensors; bfloat16 halves the "
+                             "per-request host->device transfer (the "
+                             "server casts incoming f32/f16 npz payloads)")
+    parser.add_argument("--video_dtype", default="float32",
+                        choices=("float32", "uint8"),
+                        help="input dtype of the fused programs' raw "
+                             "pixels; uint8 is exact for decoded video "
+                             "and quarters the request transfer")
     return parser
 
 
@@ -156,7 +167,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                 int8_qparams=int8_qparams,
                 platforms=tuple(p.strip()
                                 for p in args.platforms.split(",") if p),
-                symbolic_batch=not args.static_batch)
+                symbolic_batch=not args.static_batch,
+                wire_dtype=args.wire_dtype, video_dtype=args.video_dtype)
     log.infov("serving bundle written to %s (T=%d, platforms=%s)",
               args.out_dir, t, args.platforms)
     return 0

@@ -124,17 +124,30 @@ def _export_fn(fn, args_shapes, platforms, symbolic_batch: bool):
 
 def export_predict(model: GazeModel, *, batch_size: int = 1,
                    platforms=("cpu", "tpu"),
-                   symbolic_batch: bool = True) -> jax_export.Exported:
-    """Export `predict(params, frames, c3d) -> maps` (features-fed path)."""
+                   symbolic_batch: bool = True,
+                   wire_dtype=jnp.float32) -> jax_export.Exported:
+    """Export `predict(params, frames, c3d) -> maps` (features-fed path).
+
+    `wire_dtype` declares the PROGRAM INPUT dtype for frames + c3d —
+    the dtype the serving host transfers to the device. bfloat16 halves
+    the per-request host->device transfer (the dominant serving cost on
+    any networked deployment, BENCHMARKS.md "Serving + streaming");
+    inputs are cast back to fp32 at program entry so the numerics equal
+    the fp32 program evaluated on wire-rounded inputs."""
     model = _portable_model(model)
     cfg = model.cfg
     t = cfg.n_lstm_steps
     params = jax.eval_shape(model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
     frames = jax.ShapeDtypeStruct(
-        (batch_size, t, cfg.image_height, cfg.image_width, 3), jnp.float32)
+        (batch_size, t, cfg.image_height, cfg.image_width, 3), wire_dtype)
     c3d = jax.ShapeDtypeStruct((batch_size, t, cfg.dim_feature, 7, 7),
-                               jnp.float32)
-    return _export_fn(model.predict,
+                               wire_dtype)
+
+    def fn(p, fr, c3):
+        return model.predict(p, fr.astype(jnp.float32),
+                             c3.astype(jnp.float32))
+
+    return _export_fn(fn,
                       [(params, False), (frames, True), (c3d, True)],
                       platforms, symbolic_batch)
 
@@ -143,13 +156,18 @@ def export_fused_predict(model: GazeModel, *, num_frames: int,
                          batch_size: int = 1, platforms=("cpu", "tpu"),
                          compute_dtype=jnp.float32,
                          video_hw: tuple[int, int] = (128, 171),
-                         symbolic_batch: bool = True) -> jax_export.Exported:
+                         symbolic_batch: bool = True,
+                         video_dtype=jnp.float32) -> jax_export.Exported:
     """Export the fused raw-video pipeline
     `fn(c3d_params, gaze_params, video) -> maps` for a fixed clip length.
     compute_dtype defaults to fp32 so the artifact is platform-portable
     (bf16 convs are TPU-tuned; pass bfloat16 for TPU-only bundles).
     video_hw: raw frame size; the reference's C3D protocol feeds 128x171
-    (`extract_C3D_features.py:204-216`)."""
+    (`extract_C3D_features.py:204-216`).
+    video_dtype: program-input dtype for the raw pixels. uint8 is EXACT
+    (decoded video is 0..255 integers; the cast to f32 at program entry
+    loses nothing) and quarters the per-request host->device transfer
+    vs the f32 default."""
     from ..models import c3d as c3d_model
     from ..models.pipeline import extract_and_predict
 
@@ -159,10 +177,10 @@ def export_fused_predict(model: GazeModel, *, num_frames: int,
     gaze_params = jax.eval_shape(
         model.init, jax.ShapeDtypeStruct((2,), jnp.uint32))
     video = jax.ShapeDtypeStruct((batch_size, num_frames) + tuple(video_hw)
-                                 + (3,), jnp.float32)
+                                 + (3,), video_dtype)
 
     def fn(cp, gp, v):
-        return extract_and_predict(cp, gp, model, v,
+        return extract_and_predict(cp, gp, model, v.astype(jnp.float32),
                                    compute_dtype=compute_dtype)
 
     return _export_fn(fn, [(c3d_params, False), (gaze_params, False),
@@ -173,13 +191,16 @@ def export_fused_predict_int8(model: GazeModel, qparams, *, num_frames: int,
                               batch_size: int = 1, platforms=("cpu", "tpu"),
                               compute_dtype=jnp.float32,
                               video_hw: tuple[int, int] = (128, 171),
-                              symbolic_batch: bool = True
+                              symbolic_batch: bool = True,
+                              video_dtype=jnp.float32
                               ) -> jax_export.Exported:
     """Export the fused pipeline with the INT8 C3D tower
     `fn(qparams, gaze_params, video) -> maps` (`models/quant.apply_int8`
     replaces the fp32/bf16 conv tower via the `c3d_forward` hook; +8%
     measured over bf16 on v5e, BENCHMARKS.md "int8 quantized C3D").
-    `qparams` come from `models.quant.quantize_for_pipeline`."""
+    `qparams` come from `models.quant.quantize_for_pipeline`.
+    video_dtype: see `export_fused_predict` (uint8 is exact for decoded
+    pixels and quarters the request transfer)."""
     from ..models.pipeline import extract_and_predict
     from ..models.quant import apply_int8
 
@@ -190,11 +211,12 @@ def export_fused_predict_int8(model: GazeModel, qparams, *, num_frames: int,
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         qparams)
     video = jax.ShapeDtypeStruct((batch_size, num_frames) + tuple(video_hw)
-                                 + (3,), jnp.float32)
+                                 + (3,), video_dtype)
 
     def fn(qp, gp, v):
         return extract_and_predict(
-            qp, gp, model, v, compute_dtype=compute_dtype,
+            qp, gp, model, v.astype(jnp.float32),
+            compute_dtype=compute_dtype,
             c3d_forward=lambda p, clips: apply_int8(p, clips))
 
     return _export_fn(fn, [(q_struct, False), (gaze_params, False),
@@ -203,9 +225,16 @@ def export_fused_predict_int8(model: GazeModel, qparams, *, num_frames: int,
 
 def export_stream_step(model: GazeModel, *, chunk_len: int,
                        batch_size: int = 1, platforms=("cpu", "tpu"),
-                       symbolic_batch: bool = True) -> jax_export.Exported:
+                       symbolic_batch: bool = True,
+                       wire_dtype=jnp.float32) -> jax_export.Exported:
     """Export the carried-state streaming step
-    `fn(params, state, c3d_chunk) -> (state, maps)` (long-video serving)."""
+    `fn(params, state, c3d_chunk) -> (state, maps)` (long-video serving).
+
+    `wire_dtype` declares the feature-CHUNK input dtype (bfloat16 halves
+    the per-chunk transfer — at Tc=105 the f32 chunk is ~21 MB/step).
+    The carried state stays fp32 in BOTH directions: it round-trips
+    host<->device every chunk, and rounding it would accumulate error
+    across a long video's chunk chain."""
     from ..models.streaming import grcn_stream_step
 
     model = _portable_model(model)
@@ -214,10 +243,10 @@ def export_stream_step(model: GazeModel, *, chunk_len: int,
     state = jax.ShapeDtypeStruct((batch_size, 7, 7, cfg.rnn_state_size),
                                  jnp.float32)
     chunk = jax.ShapeDtypeStruct((batch_size, chunk_len, cfg.dim_feature,
-                                  7, 7), jnp.float32)
+                                  7, 7), wire_dtype)
 
     def fn(p, s, c):
-        return grcn_stream_step(p, s, c, cfg)
+        return grcn_stream_step(p, s, c.astype(jnp.float32), cfg)
 
     return _export_fn(fn, [(params, False), (state, True), (chunk, True)],
                       platforms, symbolic_batch)
@@ -231,7 +260,9 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
                 int8_qparams=None,
                 platforms=("cpu", "tpu"),
                 video_hw: tuple[int, int] = (128, 171),
-                symbolic_batch: bool = True) -> None:
+                symbolic_batch: bool = True,
+                wire_dtype: str = "float32",
+                video_dtype: str = "float32") -> None:
     """Write a serving bundle directory.
 
     Always exports the features->maps predict program; additionally exports
@@ -240,7 +271,17 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
     models with a ConvGRU state, i.e. gaze_grcn family), and the int8-C3D
     fused program when `int8_qparams` (from
     `models.quant.quantize_for_pipeline`) + `num_frames` are given.
+
+    `wire_dtype` ("float32" | "bfloat16") sets the input dtype of the
+    predict/stream programs' frame+feature tensors; `video_dtype`
+    ("float32" | "uint8") sets the fused programs' raw-pixel input dtype.
+    Non-f32 wire dtypes shrink the per-request host->device transfer —
+    the dominant serving cost off-host — and are recorded per program in
+    the manifest so `server_from_bundle` casts incoming requests to the
+    program's dtype (clients can keep POSTing f32/f16 npz).
     """
+    wire = jnp.dtype(wire_dtype)
+    vid = jnp.dtype(video_dtype)
     os.makedirs(path, exist_ok=True)
     manifest: dict[str, Any] = {
         "format_version": 1,
@@ -251,31 +292,35 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
     }
 
     exp = export_predict(model, platforms=platforms,
-                         symbolic_batch=symbolic_batch)
+                         symbolic_batch=symbolic_batch, wire_dtype=wire)
     with open(os.path.join(path, "predict.jaxexp"), "wb") as f:
         f.write(exp.serialize())
     _save_npz(os.path.join(path, "params.npz"), gaze_params)
     t = model.cfg.n_lstm_steps
     manifest["programs"]["predict"] = {
         "file": "predict.jaxexp",
-        "inputs": "params, frames [B,T,H,W,3] f32 in [0,1], "
-                  "c3d [B,T,1024,7,7] f32",
+        "inputs": f"params, frames [B,T,H,W,3] {wire.name} in [0,1], "
+                  f"c3d [B,T,1024,7,7] {wire.name}",
         "t": t,
+        "wire_dtype": wire.name,
     }
 
     if c3d_params is not None and num_frames is not None:
         exp_f = export_fused_predict(model, num_frames=num_frames,
                                      platforms=platforms,
                                      video_hw=video_hw,
-                                     symbolic_batch=symbolic_batch)
+                                     symbolic_batch=symbolic_batch,
+                                     video_dtype=vid)
         with open(os.path.join(path, "fused.jaxexp"), "wb") as f:
             f.write(exp_f.serialize())
         _save_npz(os.path.join(path, "c3d_params.npz"), c3d_params)
         manifest["programs"]["fused"] = {
             "file": "fused.jaxexp",
-            "inputs": "c3d_params, params, video [B,F,H,W,3] f32 0..255",
+            "inputs": f"c3d_params, params, video [B,F,H,W,3] "
+                      f"{vid.name} 0..255",
             "num_frames": num_frames,
             "video_hw": list(video_hw),
+            "video_dtype": vid.name,
         }
 
     if int8_qparams is not None and num_frames is not None:
@@ -283,28 +328,34 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
                                           num_frames=num_frames,
                                           platforms=platforms,
                                           video_hw=video_hw,
-                                          symbolic_batch=symbolic_batch)
+                                          symbolic_batch=symbolic_batch,
+                                          video_dtype=vid)
         with open(os.path.join(path, "fused_int8.jaxexp"), "wb") as f:
             f.write(exp_q.serialize())
         _save_npz(os.path.join(path, "qparams_int8.npz"), int8_qparams)
         manifest["programs"]["fused_int8"] = {
             "file": "fused_int8.jaxexp",
-            "inputs": "qparams_int8, params, video [B,F,H,W,3] f32 0..255",
+            "inputs": f"qparams_int8, params, video [B,F,H,W,3] "
+                      f"{vid.name} 0..255",
             "num_frames": num_frames,
             "video_hw": list(video_hw),
+            "video_dtype": vid.name,
         }
 
     if stream_chunk_len is not None:
         exp_s = export_stream_step(model, chunk_len=stream_chunk_len,
                                    platforms=platforms,
-                                   symbolic_batch=symbolic_batch)
+                                   symbolic_batch=symbolic_batch,
+                                   wire_dtype=wire)
         with open(os.path.join(path, "stream.jaxexp"), "wb") as f:
             f.write(exp_s.serialize())
         manifest["programs"]["stream"] = {
             "file": "stream.jaxexp",
-            "inputs": "params, state [B,7,7,U] f32, chunk [B,Tc,1024,7,7] f32",
+            "inputs": f"params, state [B,7,7,U] f32, chunk "
+                      f"[B,Tc,1024,7,7] {wire.name}",
             "chunk_len": stream_chunk_len,
             "state_size": model.cfg.rnn_state_size,
+            "wire_dtype": wire.name,
         }
 
     with open(os.path.join(path, _MANIFEST), "w") as f:
@@ -340,12 +391,25 @@ class ServingBundle:
     def programs(self) -> list[str]:
         return sorted(self._programs)
 
+    def input_dtype(self, program: str) -> np.dtype:
+        """Declared input dtype of a program's data tensors (the
+        `wire_dtype`/`video_dtype` the bundle was exported with; f32 for
+        pre-wire-dtype bundles). Exported programs are dtype-strict, so
+        callers must cast to this before `.call`."""
+        meta = self.manifest["programs"][program]
+        name = meta.get("video_dtype") or meta.get("wire_dtype") or "float32"
+        return jnp.dtype(name)
+
     def predict(self, frames, c3d):
-        """[B,T,H,W,3] frames in [0,1] + [B,T,1024,7,7] features -> maps."""
+        """[B,T,H,W,3] frames in [0,1] + [B,T,1024,7,7] features -> maps.
+        Inputs must be `input_dtype("predict")` (f32, or bf16 for
+        wire_dtype=bfloat16 bundles)."""
         return self._programs["predict"].call(self.params, frames, c3d)
 
     def predict_fused(self, video):
-        """[B,F,128,171,3] raw pixels 0..255 -> [B,T,49,49] maps."""
+        """[B,F,128,171,3] raw pixels 0..255 -> [B,T,49,49] maps.
+        `video` must be `input_dtype("fused")` (f32, or uint8 for
+        video_dtype=uint8 bundles — exact for decoded pixels)."""
         if "fused" not in self._programs:
             raise KeyError("bundle has no fused program "
                            "(saved without c3d_params/num_frames)")

@@ -26,10 +26,42 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils import log
 from .batcher import DynamicBatcher
+
+
+def _cast_to_program_dtype(key: str, a: np.ndarray, want: np.dtype):
+    """Cast a request array to the program's input dtype, or raise
+    ValueError with a client-actionable message (-> 400).
+
+    Float targets (f32/f16/bfloat16) accept any real input — bfloat16
+    in particular cannot travel in an npz (numpy serializes it as raw
+    void bytes), so clients send f32/f16 and the cast happens here.
+    uint8 targets accept only integer pixels in range: silently rounding
+    a float client payload would hide a lossy conversion."""
+    if a.dtype == want:
+        return a
+    if jnp.issubdtype(want, jnp.floating):
+        if a.dtype.kind in "fiu" or jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(want)
+        raise ValueError(
+            f"input {key}: dtype {a.dtype} is not castable to the "
+            f"program's {want.name} (send float32/float16 values)")
+    if want == np.uint8:
+        if a.dtype.kind in "iu":
+            lo, hi = (int(a.min()), int(a.max())) if a.size else (0, 0)
+            if lo < 0 or hi > 255:
+                raise ValueError(
+                    f"input {key}: values [{lo},{hi}] out of uint8 range")
+            return a.astype(np.uint8)
+        raise ValueError(
+            f"input {key}: program expects uint8 pixels (0..255); got "
+            f"{a.dtype} — round/clip client-side if the source is float")
+    raise ValueError(
+        f"input {key}: cannot cast {a.dtype} to program dtype {want.name}")
 
 
 class GazeServer:
@@ -46,6 +78,7 @@ class GazeServer:
                  max_batch: int = 32, max_wait_ms: float = 5.0,
                  input_ndims: Optional[dict] = None,
                  input_shapes: Optional[dict] = None,
+                 input_dtypes: Optional[dict] = None,
                  max_body_bytes: int = 256 * 1024 * 1024,
                  request_timeout: float = 120.0):
         """`input_ndims` maps input key -> expected UNBATCHED ndim, and
@@ -53,11 +86,20 @@ class GazeServer:
         entries are wildcards); a request violating either gets its own
         400 instead of poisoning the whole micro-batch (every co-batched
         Future fails together when np.stack or the program rejects one
-        clip's shapes)."""
+        clip's shapes).
+
+        `input_dtypes` maps key -> the dtype the program expects (the
+        bundle's wire_dtype/video_dtype). Requests are cast at the HTTP
+        boundary: float programs (incl. bfloat16, which npz cannot carry
+        — clients send f32/f16) accept any real input; uint8 programs
+        accept integer pixels in 0..255 and reject floats with a 400
+        (a lossy float->uint8 round should be the CLIENT's decision)."""
         self.input_keys = tuple(input_keys)
         self.input_ndims = dict(input_ndims or {})
         self.input_shapes = {k: tuple(v)
                              for k, v in (input_shapes or {}).items()}
+        self.input_dtypes = {k: jnp.dtype(v)
+                             for k, v in (input_dtypes or {}).items()}
         self.batcher = DynamicBatcher(predict_fn, max_batch=max_batch,
                                       max_wait_ms=max_wait_ms)
         server = self
@@ -123,6 +165,10 @@ class GazeServer:
                                 "error": f"input {k} must have unbatched "
                                          f"shape {list(want_shape)} (None ="
                                          f" any); got {list(a.shape)}"})
+                    arrays = [
+                        _cast_to_program_dtype(k, a, server.input_dtypes[k])
+                        if k in server.input_dtypes else a
+                        for k, a in zip(server.input_keys, arrays)]
                 except Exception as e:
                     return self._reply_json(400, {"error": str(e)})
                 try:
@@ -195,6 +241,8 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
         t = meta.get("t", cfg.n_lstm_steps)
         shapes = {"frames": (t, cfg.image_height, cfg.image_width, 3),
                   "c3d": (t, cfg.dim_feature, 7, 7)}
+        wire = meta.get("wire_dtype", "float32")
+        dtypes = {"frames": wire, "c3d": wire}
     elif program in ("fused", "fused_int8"):
         fn = (bundle.predict_fused if program == "fused"
               else bundle.predict_fused_int8)
@@ -204,6 +252,7 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
         shapes = {"video": (meta.get("num_frames"),) + tuple(hw or (None,
                                                                     None))
                   + (3,)}
+        dtypes = {"video": meta.get("video_dtype", "float32")}
     else:
         raise ValueError(
             f"program must be predict|fused|fused_int8, got {program}")
@@ -212,4 +261,4 @@ def server_from_bundle(bundle_dir: str, *, program: str = "predict",
                          f"(has: {bundle.programs})")
     return GazeServer(fn, keys, host=host, port=port, max_batch=max_batch,
                       max_wait_ms=max_wait_ms, input_ndims=ndims,
-                      input_shapes=shapes)
+                      input_shapes=shapes, input_dtypes=dtypes)

@@ -454,3 +454,110 @@ def test_http_server_rejects_wrong_shape_without_poisoning_batch():
 
         assert post(np.zeros((6, 9, 9, 3), np.float32)) == 400  # T=6 != 4
         assert post(np.zeros((4, 9, 9, 3), np.float32)) == 200
+
+
+def test_wire_dtype_bf16_bundle(tmp_path, small_grcn):
+    """wire_dtype=bfloat16 bundles take bf16 inputs (half the request
+    transfer) and equal the fp32 program evaluated on wire-rounded
+    inputs; map correlation vs the f32 wire stays ~1."""
+    model, params = small_grcn
+    bf16 = np.dtype("bfloat16")
+    save_bundle(str(tmp_path / "b"), model, params, wire_dtype="bfloat16",
+                stream_chunk_len=2)
+    bundle = load_bundle(str(tmp_path / "b"))
+    assert bundle.input_dtype("predict") == bf16
+    assert bundle.manifest["programs"]["predict"]["wire_dtype"] == "bfloat16"
+
+    frames, c3d = _batch(2, T)
+    fr_w = np.asarray(frames).astype(bf16)
+    c3_w = np.asarray(c3d).astype(bf16)
+    got = np.asarray(bundle.predict(fr_w, c3_w))
+    # exactly the fp32 model on the wire-rounded inputs
+    want = np.asarray(model.predict(
+        params, jnp.asarray(fr_w.astype(np.float32)),
+        jnp.asarray(c3_w.astype(np.float32))))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # and numerically indistinguishable from the f32 wire for serving
+    full = np.asarray(model.predict(params, frames, c3d))
+    corr = np.corrcoef(got.ravel(), full.ravel())[0, 1]
+    assert corr > 0.9999, corr
+
+    # the stream chunk also rides the wire dtype; the carried state is
+    # fp32 BOTH ways (rounding it would accumulate across a long video)
+    state = bundle.initial_stream_state(1)
+    chunk = np.random.RandomState(3).rand(1, 2, 1024, 7, 7).astype(bf16)
+    s1, m1 = bundle.stream_step(state, chunk)
+    assert np.asarray(s1).dtype == np.float32
+    assert np.isfinite(np.asarray(m1)).all()
+
+
+def test_video_dtype_uint8_fused_exact(tmp_path, small_grcn):
+    """video_dtype=uint8 fused programs are EXACT vs the f32 program on
+    decoded pixels (0..255 integers cast losslessly), at a quarter of
+    the request transfer."""
+    from recurrent_gaze_prediction_tpu.models import c3d as c3d_model
+
+    model, params = small_grcn
+    c3d_params = c3d_model.init_params(jax.random.PRNGKey(1))
+    f, hw = 32, (48, 64)
+    save_bundle(str(tmp_path / "u8"), model, params, c3d_params=c3d_params,
+                num_frames=f, video_hw=hw, video_dtype="uint8")
+    save_bundle(str(tmp_path / "f32"), model, params, c3d_params=c3d_params,
+                num_frames=f, video_hw=hw)
+    b_u8 = load_bundle(str(tmp_path / "u8"))
+    b_f32 = load_bundle(str(tmp_path / "f32"))
+    assert b_u8.input_dtype("fused") == np.uint8
+
+    pixels = np.random.RandomState(2).randint(
+        0, 256, (1, f) + hw + (3,)).astype(np.uint8)
+    got = np.asarray(b_u8.predict_fused(pixels))
+    want = np.asarray(b_f32.predict_fused(pixels.astype(np.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_http_server_casts_request_to_program_dtype():
+    """The HTTP boundary casts requests to the program's declared input
+    dtype: float programs (incl. bfloat16, which npz cannot carry)
+    accept f32/f16 payloads; uint8 programs take integer pixels and
+    reject floats with their own 400 (never a poisoned micro-batch)."""
+    import io
+    import urllib.request
+
+    from recurrent_gaze_prediction_tpu.serving.server import GazeServer
+
+    bf16 = np.dtype("bfloat16")
+    seen = []
+
+    def predict(frames):
+        seen.append(frames.dtype)
+        return frames.astype(np.float32).sum(axis=(1, 2))
+
+    def post(server, arr):
+        host, port = server.address
+        buf = io.BytesIO()
+        np.savez(buf, frames=arr)
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    with GazeServer(predict, ("frames",),
+                    input_dtypes={"frames": "bfloat16"},
+                    max_wait_ms=1.0).start() as server:
+        assert post(server, np.ones((3, 4), np.float32)) == 200
+        assert post(server, np.ones((3, 4), np.float16)) == 200
+        assert post(server, np.ones((3, 4), np.int32)) == 200
+    assert seen and all(d == bf16 for d in seen)
+
+    seen.clear()
+    with GazeServer(predict, ("frames",),
+                    input_dtypes={"frames": "uint8"},
+                    max_wait_ms=1.0).start() as server:
+        assert post(server, np.full((3, 4), 7, np.int64)) == 200   # in range
+        assert post(server, np.full((3, 4), 300, np.int64)) == 400  # range
+        assert post(server, np.ones((3, 4), np.float32)) == 400     # lossy
+    assert seen and all(d == np.uint8 for d in seen)
