@@ -280,6 +280,12 @@ def save_bundle(path: str, model: GazeModel, gaze_params, *,
     the manifest so `server_from_bundle` casts incoming requests to the
     program's dtype (clients can keep POSTing f32/f16 npz).
     """
+    if wire_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"wire_dtype must be float32|bfloat16, got "
+                         f"{wire_dtype!r} (uint8 is video_dtype's job)")
+    if video_dtype not in ("float32", "uint8"):
+        raise ValueError(f"video_dtype must be float32|uint8, got "
+                         f"{video_dtype!r}")
     wire = jnp.dtype(wire_dtype)
     vid = jnp.dtype(video_dtype)
     os.makedirs(path, exist_ok=True)
@@ -392,10 +398,14 @@ class ServingBundle:
         return sorted(self._programs)
 
     def input_dtype(self, program: str) -> np.dtype:
-        """Declared input dtype of a program's data tensors (the
-        `wire_dtype`/`video_dtype` the bundle was exported with; f32 for
-        pre-wire-dtype bundles). Exported programs are dtype-strict, so
-        callers must cast to this before `.call`."""
+        """Declared input dtype of a program's DATA tensors — frames/c3d
+        for predict, video pixels for fused*, the feature CHUNK for
+        stream (the `wire_dtype`/`video_dtype` the bundle was exported
+        with; f32 for pre-wire-dtype bundles). Exported programs are
+        dtype-strict, so cast data tensors to this before `.call`.
+        NOT the stream program's carried STATE: that is always float32
+        in both directions regardless of wire_dtype (rounding it would
+        accumulate error across a long video's chunk chain)."""
         meta = self.manifest["programs"][program]
         name = meta.get("video_dtype") or meta.get("wire_dtype") or "float32"
         return jnp.dtype(name)
@@ -427,7 +437,10 @@ class ServingBundle:
                                                  self.params, video)
 
     def stream_step(self, state, c3d_chunk):
-        """Carried-state chunk step -> (new_state, chunk maps)."""
+        """Carried-state chunk step -> (new_state, chunk maps).
+        `state` is float32 ALWAYS (feed back what the previous step
+        returned, or `initial_stream_state`); only `c3d_chunk` rides
+        `input_dtype("stream")` (bf16 for wire_dtype=bfloat16 bundles)."""
         if "stream" not in self._programs:
             raise KeyError("bundle has no stream program")
         return self._programs["stream"].call(self.params, state, c3d_chunk)

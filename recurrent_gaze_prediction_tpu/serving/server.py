@@ -45,7 +45,9 @@ def _cast_to_program_dtype(key: str, a: np.ndarray, want: np.dtype):
     if a.dtype == want:
         return a
     if jnp.issubdtype(want, jnp.floating):
-        if a.dtype.kind in "fiu" or jnp.issubdtype(a.dtype, jnp.floating):
+        # np.load of an npz only ever yields standard numpy dtypes
+        # (bfloat16 round-trips as raw void bytes), so kind covers it
+        if a.dtype.kind in "fiu":
             return a.astype(want)
         raise ValueError(
             f"input {key}: dtype {a.dtype} is not castable to the "

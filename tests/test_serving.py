@@ -561,3 +561,15 @@ def test_http_server_casts_request_to_program_dtype():
         assert post(server, np.full((3, 4), 300, np.int64)) == 400  # range
         assert post(server, np.ones((3, 4), np.float32)) == 400     # lossy
     assert seen and all(d == np.uint8 for d in seen)
+
+
+def test_save_bundle_rejects_bad_wire_dtypes(tmp_path, small_grcn):
+    """save_bundle validates the dtype knobs at EXPORT time — a uint8
+    wire or an int32 video program would be dead on arrival at serve
+    time (the server would 400 every legitimate payload)."""
+    model, params = small_grcn
+    with pytest.raises(ValueError, match="wire_dtype"):
+        save_bundle(str(tmp_path / "a"), model, params, wire_dtype="uint8")
+    with pytest.raises(ValueError, match="video_dtype"):
+        save_bundle(str(tmp_path / "b"), model, params,
+                    video_dtype="bfloat16")
