@@ -1,19 +1,22 @@
-"""Convergence rehearsal: train the flagship gaze_grcn to real saliency
-quality on the learnable synthetic corpus, and (optionally) compare
-training dynamics across compute dtypes.
+"""Convergence rehearsal: train a gaze model to real saliency quality on
+the learnable synthetic corpus, and (optionally) compare training
+dynamics across compute dtypes.
 
 VERDICT r3 items 2-3: component parity ("matches TF at 1e-5") and step
 speed do not add up to "the framework trains the paper's model" — this
-script supplies that end-to-end evidence. It trains gaze_grcn (xentropy,
-49x49 — the RGP regime, reference defaults B=28/T=42,
+script supplies that end-to-end evidence. The default trains gaze_grcn
+(xentropy, 49x49 — the RGP regime, reference defaults B=28/T=42,
 `/root/reference/models/train_gaze.py:74-97`) on the synthetic corpus
 (`data/synthetic.py`, gaze follows a visible moving target) and reports
 the on-device CC / SIM / AUC_Borji / AUC_shuffled curve on a held-out
-split. With `--dtypes bfloat16 float32` it runs BOTH dtypes from the same
-seed and prints the curves side by side — the measured cost of the bf16
-default (PARITY.md "intentional divergences").
+split. `--model` rehearses any registered family at its own registry
+defaults (gaze_lstm, gaze_rnn, gaze_grcn_cascade, ...). With
+`--dtypes bfloat16 float32` it runs BOTH dtypes from the same seed and
+prints the curves side by side — the measured cost of the bf16 default
+(PARITY.md "intentional divergences").
 
     python scripts/convergence_rehearsal.py --steps 600
+    python scripts/convergence_rehearsal.py --steps 600 --model gaze_lstm
     python scripts/convergence_rehearsal.py --steps 600 \
         --dtypes bfloat16 float32
 
@@ -55,10 +58,16 @@ def run_one(dtype: str, args) -> dict:
     # steps, clip 10, dropout 0.5, flips (models/train_gaze.py:74-97,
     # models/gaze_rnn.py:436-444)
     exp.optimizer.initial_learning_rate = args.learning_rate
-    model = registry.create_model(
-        "gaze_grcn", exp.model, n_lstm_steps=args.t, batch_size=args.batch,
-        compute_dtype=dtype,
-        rnn_state_size=args.rnn_state_size, dim_cnn_proj=args.dim_cnn_proj)
+    overrides = dict(n_lstm_steps=args.t, batch_size=args.batch,
+                     compute_dtype=dtype)
+    # only override cell/projection widths when asked — other families
+    # (gaze_rnn's 32-proj flat GRU, cascade's two-level cells) keep their
+    # registry defaults otherwise
+    if args.rnn_state_size is not None:
+        overrides["rnn_state_size"] = args.rnn_state_size
+    if args.dim_cnn_proj is not None:
+        overrides["dim_cnn_proj"] = args.dim_cnn_proj
+    model = registry.create_model(args.model, exp.model, **overrides)
 
     data = synthetic.make_splits(n_train=args.train_clips,
                                  n_valid=args.valid_clips, n_test=2,
@@ -108,8 +117,8 @@ def run_one(dtype: str, args) -> dict:
         if s % args.eval_every == 0 or s == args.steps:
             loss = float(metrics["loss"])
             scores = eval_now()
-            point = {"dtype": dtype, "step": s, "loss": round(loss, 4),
-                     **scores}
+            point = {"model": args.model, "dtype": dtype, "step": s,
+                     "loss": round(loss, 4), **scores}
             curve.append(point)
             print(json.dumps(point), flush=True)
     wall = time.time() - t0
@@ -120,11 +129,12 @@ def run_one(dtype: str, args) -> dict:
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="gaze_grcn")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=28)
     p.add_argument("--t", type=int, default=42)
-    p.add_argument("--rnn_state_size", type=int, default=128)
-    p.add_argument("--dim_cnn_proj", type=int, default=512)
+    p.add_argument("--rnn_state_size", type=int, default=None)
+    p.add_argument("--dim_cnn_proj", type=int, default=None)
     p.add_argument("--train_clips", type=int, default=56)
     p.add_argument("--valid_clips", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=1e-4)
