@@ -69,9 +69,12 @@ def run_one(dtype: str, args) -> dict:
         overrides["dim_cnn_proj"] = args.dim_cnn_proj
     model = registry.create_model(args.model, exp.model, **overrides)
 
-    data = synthetic.make_splits(n_train=args.train_clips,
-                                 n_valid=args.valid_clips, n_test=2,
-                                 t=args.t, seed=args.seed)
+    data = synthetic.make_splits(
+        n_train=args.train_clips, n_valid=args.valid_clips, n_test=2,
+        t=args.t, seed=args.seed,
+        # corpus at the family's native map resolution (7x7 for the *77
+        # and legacy-pupil families, 49x49 otherwise)
+        gazemap_hw=(model.cfg.gazemap_height, model.cfg.gazemap_width))
     state, tx = create_train_state(model, exp.optimizer,
                                    jax.random.PRNGKey(args.seed))
     step = make_train_step(model, tx, donate=True)
@@ -86,7 +89,11 @@ def run_one(dtype: str, args) -> dict:
     # training — and unsynced async dispatch stages dozens of those
     # batches in host RAM (measured: >30 GB RSS before this change).
     dev_train = {}
-    for k in ("frames", "c3d", "gazemaps"):
+    keys = ["frames", "c3d", "gazemaps"]
+    if getattr(data.train, "pupils", None) is not None and \
+            args.model.startswith("gaze_pupil"):
+        keys.append("pupils")  # legacy prototypes carry a pupil-size head
+    for k in keys:
         arr = np.asarray(getattr(data.train, k), np.float32)
         dev_train[k] = jnp.asarray(arr)
         if k in ("frames", "c3d") and dtype == "bfloat16":

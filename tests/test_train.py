@@ -322,3 +322,37 @@ def test_grcn_flagship_converges_on_heldout_split():
         metrics=("cc", "AUC_Borji", "sim"))
     assert scores["cc"] >= 0.5, scores
     assert scores["AUC_Borji"] >= 0.7, scores
+
+
+@pytest.mark.parametrize("name,overrides", [
+    ("gaze_lstm", dict(dim_cnn_proj=64, rnn_state_size=32)),
+    ("gaze_rnn", dict()),  # registry defaults: 32-dim proj, flat GRU
+])
+def test_recurrent_families_converge_on_heldout_split(name, overrides):
+    """Same rehearsal as the flagship test for the OTHER recurrent
+    compositions (peephole ConvLSTM; flat-GRU + ShallowNet branch of
+    `/root/reference/models/gaze_rnn.py:212-356`): train on the
+    learnable corpus, assert real held-out saliency quality. Full-scale
+    on-chip runs (B=28, T=42, registry dims, 600 steps) are recorded in
+    BENCHMARKS.md "Convergence rehearsal"."""
+    b, t, steps = 8, 12, 100
+    exp = _exp(name, n_lstm_steps=t, batch_size=b, **overrides)
+    exp.optimizer.initial_learning_rate = 1e-3
+    model = registry.create_model(exp.model.name, exp.model)
+    data = synthetic.make_splits(n_train=16, n_valid=8, n_test=2, t=t)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    step = make_train_step(model, tx)
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(b).items() if k != "clipnames"}
+        state, metrics = step(state, batch, rng)
+
+    predict = make_predict_fn(model)
+    _, scores = evaluator.generate_and_evaluate(
+        predict, state.params, data.valid, b, max_instances=None,
+        metrics=("cc", "AUC_Borji"))
+    assert scores["cc"] >= 0.5, (name, scores)
+    assert scores["AUC_Borji"] >= 0.7, (name, scores)
