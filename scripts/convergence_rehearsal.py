@@ -19,6 +19,11 @@ prints the curves side by side — the measured cost of the bf16 default
     python scripts/convergence_rehearsal.py --steps 600 --model gaze_lstm
     python scripts/convergence_rehearsal.py --steps 600 \
         --dtypes bfloat16 float32
+    # the reference's two-stage workflow (pretrain -> graft -> train):
+    python -m recurrent_gaze_prediction_tpu.cli.pretrain_shallownet \
+        --dataset synthetic --out /tmp/sn_pre --max_steps 600
+    python scripts/convergence_rehearsal.py --model gaze_rnn \
+        --steps 300 --shallownet_pretrain /tmp/sn_pre
 
 Emits one JSON line per (dtype, eval point) plus a final summary line.
 """
@@ -33,10 +38,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+from recurrent_gaze_prediction_tpu.utils import (  # noqa: E402
+    enable_compile_cache,
+    honor_jax_platforms_env,
+)
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu works like the CLIs
+
+import jax  # noqa: E402
+
+if (os.environ.get("JAX_PLATFORMS") or "").strip():
+    enable_compile_cache()  # platform-scoped persistent cache
+else:
+    # default TPU-relay path (JAX_PLATFORMS unset: the axon backend is
+    # registered by sitecustomize) — same cache dir bench.py uses
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -77,6 +94,19 @@ def run_one(dtype: str, args) -> dict:
         gazemap_hw=(model.cfg.gazemap_height, model.cfg.gazemap_width))
     state, tx = create_train_state(model, exp.optimizer,
                                    jax.random.PRNGKey(args.seed))
+    if args.shallownet_pretrain:
+        # the reference's two-stage workflow: pretrain ShallowNet
+        # (SALICON regime), graft, then train the gaze model with the
+        # grafted subtree frozen (`models/gaze_rnn.py:412-433,459`)
+        import dataclasses as _dc
+
+        from recurrent_gaze_prediction_tpu.train.checkpoint import (
+            restore_shallownet,
+        )
+        state = _dc.replace(
+            state,
+            params=restore_shallownet(state.params,
+                                      args.shallownet_pretrain))
     step = make_train_step(model, tx, donate=True)
     predict = make_predict_fn(model)
     input_cast = jnp.bfloat16 if dtype == "bfloat16" else None
@@ -126,6 +156,8 @@ def run_one(dtype: str, args) -> dict:
             scores = eval_now()
             point = {"model": args.model, "dtype": dtype, "step": s,
                      "loss": round(loss, 4), **scores}
+            if args.shallownet_pretrain:
+                point["shallownet"] = "pretrained"
             curve.append(point)
             print(json.dumps(point), flush=True)
     wall = time.time() - t0
@@ -137,6 +169,10 @@ def run_one(dtype: str, args) -> dict:
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="gaze_grcn")
+    p.add_argument("--shallownet_pretrain", default=None,
+                   help="params checkpoint to graft into the (frozen) "
+                        "ShallowNet branch before training — the "
+                        "reference's pretrain-then-train workflow")
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=28)
     p.add_argument("--t", type=int, default=42)
