@@ -618,46 +618,13 @@ def _num(value, ndigits: int):
     return round(value, ndigits)
 
 
-def _wait_for_device(max_wait_s: float = 1800.0, probe_timeout_s: float = 90.0):
-    """Wait out a wedged TPU relay before benching.
+def _wait_for_device():
+    """Shared wedged-relay guard (utils.platform.wait_for_device):
+    bench_inference() would otherwise hang on its first transfer with no
+    JSON emitted if a killed client left the relay wedged."""
+    from recurrent_gaze_prediction_tpu.utils import wait_for_device
 
-    Killing a client mid-compile can wedge the relay for 15-45 min
-    (every new RPC hangs or returns FAILED_PRECONDITION; it self-heals —
-    see the verify skill's gotchas). bench_inference() would otherwise
-    hang on its first transfer with no JSON emitted. Probe with a tiny
-    computation in a SUBPROCESS (cleanly killable; an in-process hung RPC
-    thread could not be) and retry until the device answers or the wait
-    budget is spent — then proceed regardless, so a healthy backend is
-    never delayed and a truly dead one fails exactly as before."""
-    import subprocess
-
-    probe = ("import jax, jax.numpy as jnp; "
-             "print(float(jnp.ones((4, 4)).sum()))")
-    deadline = time.monotonic() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, text=True,
-                               timeout=probe_timeout_s)
-            if r.returncode == 0 and "16.0" in r.stdout:
-                if attempt > 1:
-                    print(f"# device probe ok after {attempt} attempts",
-                          file=sys.stderr)
-                return
-            reason = (r.stderr or r.stdout).strip().splitlines()
-            reason = reason[-1] if reason else f"rc={r.returncode}"
-        except subprocess.TimeoutExpired:
-            reason = f"probe hung >{probe_timeout_s:.0f}s"
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            print(f"# device probe never healed ({reason}); proceeding",
-                  file=sys.stderr)
-            return
-        print(f"# device wedged ({reason}); retrying, "
-              f"{remaining:.0f}s of wait budget left", file=sys.stderr)
-        time.sleep(min(30.0, max(remaining, 0.0)))
+    wait_for_device()
 
 
 def main() -> None:

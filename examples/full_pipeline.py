@@ -92,11 +92,27 @@ def synthesize_corpus(work: str, seed: int = 0) -> tuple[str, str]:
     return videos, root
 
 
-def run(work: str) -> dict:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    from recurrent_gaze_prediction_tpu.utils import honor_jax_platforms_env
+def run(work: str, platform: str = "cpu") -> dict:
+    # The rehearsal runs tiny shapes through many small jit programs —
+    # CPU finishes in minutes, while a remote-relay TPU backend pays a
+    # relay round-trip per program (and hangs outright if a killed
+    # client left the relay wedged). Default to CPU EXPLICITLY:
+    # `os.environ.setdefault` is not enough on hosts where the
+    # environment already exports JAX_PLATFORMS=<relay backend>.
+    from recurrent_gaze_prediction_tpu.utils import (
+        honor_jax_platforms_env,
+        wait_for_device,
+    )
 
+    os.environ["JAX_PLATFORMS"] = platform
     honor_jax_platforms_env()
+    if platform != "cpu":
+        # device path opted into: wait out a wedged relay first, and fall
+        # back to CPU rather than hanging stage 2 if it never heals
+        if not wait_for_device(max_wait_s=600.0):
+            print("# device never answered; falling back to cpu")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            honor_jax_platforms_env()
 
     import h5py
 
@@ -262,6 +278,10 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--work_dir", default=None,
                         help="default: a fresh temp dir")
+    parser.add_argument("--platform", default="cpu",
+                        help="jax platform for the rehearsal (default "
+                             "cpu — fastest for these tiny shapes; pass "
+                             "tpu/axon to exercise the device path)")
     args = parser.parse_args(argv)
     work = args.work_dir
     if work is None:
@@ -269,7 +289,7 @@ def main(argv=None) -> int:
 
         work = tempfile.mkdtemp(prefix="rgp_full_pipeline_")
     os.makedirs(work, exist_ok=True)
-    artifacts = run(work)
+    artifacts = run(work, platform=args.platform)
     print("\nAll 8 stages passed. Artifacts:")
     for key, value in artifacts.items():
         print(f"  {key}: {value}")

@@ -47,13 +47,10 @@ honor_jax_platforms_env()  # JAX_PLATFORMS=cpu works like the CLIs
 
 import jax  # noqa: E402
 
-if (os.environ.get("JAX_PLATFORMS") or "").strip():
-    enable_compile_cache()  # platform-scoped persistent cache
-else:
-    # default TPU-relay path (JAX_PLATFORMS unset: the axon backend is
-    # registered by sitecustomize) — same cache dir bench.py uses
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# one unified persistent cache for every device-backend invocation style
+# (JAX_PLATFORMS set or unset — enable_compile_cache handles both since
+# the advisor-r4 fix; CPU is skipped inside)
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -85,6 +82,17 @@ def run_one(dtype: str, args) -> dict:
     if args.dim_cnn_proj is not None:
         overrides["dim_cnn_proj"] = args.dim_cnn_proj
     model = registry.create_model(args.model, exp.model, **overrides)
+
+    if args.shallownet_pretrain:
+        # fail fast with a useful message BEFORE data/model setup: only
+        # families with a top-level ShallowNet branch can graft
+        # (advisor r4 — the generic restore error surfaced too late)
+        probe = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+        if "shallownet" not in probe:
+            raise SystemExit(
+                f"--shallownet_pretrain: model {args.model!r} has no "
+                "'shallownet' params subtree; grafting families: "
+                "gaze_rnn, gaze_grcn_cascade, gaze_framewise_shallownet")
 
     data = synthetic.make_splits(
         n_train=args.train_clips, n_valid=args.valid_clips, n_test=2,
