@@ -92,7 +92,14 @@ def make_clip_windows(n_clips: int, t: int, *, image_hw=(98, 98),
     frames = frames + bump_img[..., None] * 0.7
     frames = np.clip(np.repeat(frames, 3, axis=-1), 0.0, 1.0)
 
-    pupils = rng.rand(n_clips, t).astype(np.float32)
+    # pupil size: a LEARNABLE function of the observable scene — it tracks
+    # the gaze target's vertical position (which the C3D stream's bump
+    # encodes), plus observation noise. The legacy pupil-head prototypes
+    # (`models/gaze_legacy.py`, reference `model_gru_rcn.py:135-141`)
+    # regress this; a random signal would make their pupil loss
+    # irreducible and the head's learning undemonstrable.
+    pupils = (0.25 + 0.5 * traj[..., 0]
+              + rng.randn(n_clips, t) * 0.02).astype(np.float32)
     clipnames = [f"synthetic_{seed}_{i:04d}" for i in range(n_clips)]
 
     return ClipDataset(frames=frames, gazemaps=gazemaps,

@@ -238,32 +238,75 @@ def _resize_uint8(frame: np.ndarray, h: int, w: int) -> np.ndarray:
 def make_synthetic_fused_corpus(n_clips: int = 8, *, num_frames: int = 80,
                                 frame_hw: tuple[int, int] = (64, 80),
                                 gazemap_hw: tuple[int, int] = (49, 49),
-                                seed: int = 0) -> RawVideoDataset:
-    """Learnable raw-video corpus: a bright blob walks across gray-noise
-    frames and the gaze target tracks it — the raw-pixel analog of
+                                seed: int = 0, mode: str = "bright",
+                                walk_bounds: Optional[tuple] = None
+                                ) -> RawVideoDataset:
+    """Learnable raw-video corpus: the gaze target tracks a blob walking
+    across gray-noise frames — the raw-pixel analog of
     `data/synthetic.make_clip_windows` (which generates pre-extracted
-    features and cannot exercise the fused path)."""
+    features and cannot exercise the fused path).
+
+    mode="bright" (default): one saturated-white blob; gaze follows it.
+    Any spatially-selective feature encoding (even a RANDOM frozen C3D
+    tower) transmits its position, so this mode measures whether the
+    fused training path learns at all.
+
+    mode="flicker": TWO equal-mean-brightness blobs walk independently —
+    the gaze target flickers frame-to-frame (amplitude +-60 around 120)
+    while the distractor holds steady at 120. Per-frame appearance is
+    identical; only the TEMPORAL signature distinguishes them. A frozen
+    random C3D encodes both blobs near-symmetrically (informative —
+    blob positions are visible — but suboptimal: which blob to follow
+    is weakly encoded), while joint `--finetune_c3d` training can shape
+    the 3-D conv temporal kernels into flicker detectors. This is the
+    corpus for the frozen-vs-finetuned A/B (VERDICT r4 weak #1).
+
+    `walk_bounds` clamps the normalized random walk; note
+    `c3d.preprocess_frames` center-crops 112/171 of the width, so
+    positions outside ~[0.18, 0.82] horizontally leave the C3D stream's
+    view (the rehearsal passes tighter bounds).
+    """
+    if mode not in ("bright", "flicker"):
+        raise ValueError(f"unknown corpus mode {mode!r}")
     rng = np.random.RandomState(seed)
     fh, fw = frame_hw
     gh, gw = gazemap_hw
     t = pipeline.pipeline_timesteps(num_frames)
+    lo, hi = walk_bounds if walk_bounds is not None else (
+        (0.15, 0.85) if mode == "bright" else (0.25, 0.75))
 
-    pos = rng.rand(n_clips, 2) * 0.5 + 0.25
-    traj = np.zeros((n_clips, num_frames, 2))
-    for step in range(num_frames):
-        pos = np.clip(pos + rng.randn(n_clips, 2) * 0.01, 0.15, 0.85)
-        traj[:, step] = pos
+    def walk(key_offset: int = 0) -> np.ndarray:
+        wrng = np.random.RandomState(seed + key_offset)
+        pos = wrng.rand(n_clips, 2) * (hi - lo - 0.2) + lo + 0.1
+        steps = np.zeros((n_clips, num_frames, 2))
+        for step in range(num_frames):
+            pos = np.clip(pos + wrng.randn(n_clips, 2) * 0.01, lo, hi)
+            steps[:, step] = pos
+        return steps
 
+    traj = walk()
     video = rng.randint(0, 70, (n_clips, num_frames, fh, fw, 3),
                         np.uint8)
-    ys = (traj[..., 0] * (fh - 1)).astype(int)
-    xs = (traj[..., 1] * (fw - 1)).astype(int)
     r = max(2, fh // 12)
-    for ci in range(n_clips):
-        for fi in range(num_frames):
-            y0, x0 = ys[ci, fi], xs[ci, fi]
-            video[ci, fi, max(0, y0 - r):y0 + r,
-                  max(0, x0 - r):x0 + r] = 255
+
+    def draw(blob_traj: np.ndarray, brightness) -> None:
+        """brightness: scalar or per-frame array [num_frames]."""
+        ys = (blob_traj[..., 0] * (fh - 1)).astype(int)
+        xs = (blob_traj[..., 1] * (fw - 1)).astype(int)
+        for ci in range(n_clips):
+            for fi in range(num_frames):
+                y0, x0 = ys[ci, fi], xs[ci, fi]
+                bval = brightness if np.isscalar(brightness) \
+                    else brightness[fi]
+                video[ci, fi, max(0, y0 - r):y0 + r,
+                      max(0, x0 - r):x0 + r] = bval
+
+    if mode == "bright":
+        draw(traj, 255)
+    else:
+        flick = 120 + 60 * np.where(np.arange(num_frames) % 2 == 0, 1, -1)
+        draw(traj, flick)           # target: mean 120, flickering
+        draw(walk(key_offset=777), 120)  # distractor: steady 120
 
     sub = traj[:, FRAME_OFFSET::FRAME_STRIDE][:, :t]
     yy = np.arange(gh).reshape(1, 1, gh, 1)

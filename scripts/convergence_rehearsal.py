@@ -140,11 +140,50 @@ def run_one(dtype: str, args) -> dict:
     n_train = dev_train["frames"].shape[0]
     order_rng = np.random.RandomState(args.seed + 2)
 
+    pupil_eval = None
+    if args.model.startswith("gaze_pupil"):
+        # the pupil head is these prototypes' distinguishing feature
+        # (`model_gru_rcn.py:135-141`): report held-out pupil quality,
+        # not only the gaze map scores
+        from recurrent_gaze_prediction_tpu.models.gaze_legacy import (
+            apply_pupil_grcn,
+            apply_pupil_gru2,
+        )
+
+        gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+
+        @jax.jit
+        def _joint(params, frames, c3d):
+            if model.kind == "grcn":
+                return apply_pupil_grcn(params, frames, c3d, model.cfg)
+            b, t = c3d.shape[:2]
+            zeros = jnp.zeros((b, t, gh * gw + 1))  # no teacher at eval
+            return apply_pupil_gru2(params, frames, c3d, zeros, model.cfg)
+
+        def pupil_eval(params) -> dict:
+            preds, gts = [], []
+            v = data.valid
+            for i in range(0, len(v.c3d), 8):
+                joint = _joint(params, jnp.asarray(v.frames[i:i + 8]),
+                               jnp.asarray(v.c3d[i:i + 8]))
+                preds.append(np.asarray(joint[..., -1], np.float32))
+                gts.append(np.asarray(v.pupils[i:i + 8], np.float32))
+            p = np.concatenate(preds).ravel()
+            g = np.concatenate(gts).ravel()
+            return {
+                "pupil_corr": round(float(np.corrcoef(p, g)[0, 1]), 4),
+                "pupil_rmse": round(float(np.sqrt(np.mean((p - g) ** 2))),
+                                    4),
+            }
+
     def eval_now():
         _, scores = evaluator.generate_and_evaluate(
             predict, state.params, data.valid, min(args.batch, 8),
             max_instances=None, input_cast=input_cast)
-        return {k: round(float(v), 4) for k, v in scores.items()}
+        out = {k: round(float(v), 4) for k, v in scores.items()}
+        if pupil_eval is not None:
+            out.update(pupil_eval(state.params))
+        return out
 
     curve = []
     t0 = time.time()

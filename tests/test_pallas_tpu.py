@@ -1,0 +1,73 @@
+"""On-HARDWARE Pallas kernel parity (VERDICT r4 weak #2).
+
+The interpret-mode tests in test_pallas.py pin the kernel's *semantics*
+on CPU; these pin the Mosaic-COMPILED kernel on the actual TPU, where it
+is default-on for inference and carries the headline throughput number
+(`models/gaze_grcn._run_convgru`). The suite harness forces a CPU
+platform (conftest.py), so the check runs in a subprocess that inherits
+the host's device backend. Skips cleanly when no TPU answers.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.tpu]
+
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "print(float(jnp.ones((4, 4)).sum()))")
+
+_PARITY = """
+import json
+from recurrent_gaze_prediction_tpu.utils import enable_compile_cache
+enable_compile_cache()
+from recurrent_gaze_prediction_tpu.ops.pallas.parity import (
+    convgru_parity, parity_ok)
+stats = convgru_parity()
+stats["ok"] = parity_ok(stats)
+print("PARITY=" + json.dumps(stats))
+"""
+
+
+def _device_env() -> dict:
+    """Subprocess env with the conftest's CPU pin removed so the host's
+    registered device backend resolves (the container exports
+    JAX_PLATFORMS=<relay backend>; conftest overwrote it in-process,
+    not for children — but scrub defensively)."""
+    env = dict(os.environ)
+    if env.get("JAX_PLATFORMS", "").strip() == "cpu":
+        del env["JAX_PLATFORMS"]
+    # drop the 8-virtual-device flag: it is CPU-only and confuses logs
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    return env
+
+
+def test_pallas_convgru_parity_on_tpu():
+    env = _device_env()
+    try:
+        probe = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True, timeout=120,
+                               env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("device backend did not answer in 120s (no TPU or "
+                    "wedged relay)")
+    if probe.returncode != 0 or "16.0" not in probe.stdout:
+        pytest.skip(f"no usable device backend: "
+                    f"{(probe.stderr or probe.stdout).strip()[-200:]}")
+
+    r = subprocess.run([sys.executable, "-c", _PARITY],
+                       capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, f"parity subprocess failed:\n{r.stderr[-2000:]}"
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("PARITY=")]
+    assert line, f"no parity line in output:\n{r.stdout[-2000:]}"
+    stats = json.loads(line[0][len("PARITY="):])
+    assert stats["backend"] != "cpu", stats  # must have run on the device
+    assert stats["ok"], (
+        f"Mosaic-compiled ConvGRU diverged from the scan on "
+        f"{stats['device']}: {stats}")

@@ -377,3 +377,32 @@ def test_gaze_targets_match_crc_loader_protocol(tmp_path):
     # orientation pin: fixation (x=40, y=5) must land at [row 5, col 40]
     hot = np.unravel_index(np.argmax(got[0]), got[0].shape)
     assert abs(hot[0] - 5) <= 1 and abs(hot[1] - 40) <= 1
+
+
+def test_synthetic_fused_corpus_flicker_mode():
+    """mode="flicker": gaze follows the TEMPORALLY flickering blob, the
+    steady distractor has the same mean brightness — per-frame appearance
+    cannot separate them (the A/B corpus for --finetune_c3d)."""
+    data = fused.make_synthetic_fused_corpus(3, num_frames=F,
+                                             frame_hw=(48, 64), seed=0,
+                                             mode="flicker")
+    t = pipeline.pipeline_timesteps(F)
+    assert data.gazemaps.shape == (3, t, 49, 49)
+
+    ci, ti = 1, t - 1
+    fi = fused.FRAME_OFFSET + ti * fused.FRAME_STRIDE
+    gy, gx = np.unravel_index(np.argmax(data.gazemaps[ci, ti]), (49, 49))
+    fy, fx = int(gy / 48 * 47), int(gx / 48 * 63)
+    # the gazed blob's pixels ALTERNATE between consecutive frames ...
+    a = data.video[ci, fi, fy, fx].astype(int)
+    b = data.video[ci, fi + 1, fy, fx].astype(int)
+    assert abs(a - b).max() >= 100, (a, b)
+    # ... around the same mean the steady distractor holds (120): both
+    # blob brightness levels straddle it, background noise stays < 70
+    assert {int(data.video[ci, fi, fy, fx, 0]),
+            int(data.video[ci, fi + 1, fy, fx, 0])} == {60, 180}
+
+
+def test_synthetic_fused_corpus_rejects_unknown_mode():
+    with pytest.raises(ValueError, match="unknown corpus mode"):
+        fused.make_synthetic_fused_corpus(2, num_frames=F, mode="nope")
