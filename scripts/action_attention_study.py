@@ -36,24 +36,40 @@ from recurrent_gaze_prediction_tpu.utils import (  # noqa: E402
     honor_jax_platforms_env,
 )
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: tiny linear heads gain nothing from the device, and
+# `setdefault` would be a no-op on hosts that export JAX_PLATFORMS to a
+# relay backend (then the study would grab the single-tenant TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 honor_jax_platforms_env()
 
 import numpy as np  # noqa: E402
 
 
 def make_attention_corpus(n: int, *, n_classes: int = 13, seed: int = 0,
-                          signal: float = 3.0, noise: float = 0.3) -> dict:
-    """Samples where the label is decodable ONLY at the gazed cell."""
+                          signal: float = 3.0, distract_amp: float = 1.0,
+                          noise: float = 0.3) -> dict:
+    """Samples where the label signal concentrates at the gazed cell.
+
+    `distract_amp` sets how badly the 48 non-signal cells pollute an
+    attention-less spatial pool: at 1.0 the pooled distractor noise
+    (std ~ distract_amp * sqrt(48) ~ 6.9) swamps the pooled signal
+    (3.0) — the no-attention model can only weakly decode, while an
+    attention model that learns to amplify the gazed cell sees the
+    clean pattern. (With distract_amp == signal the task is IMPOSSIBLE
+    without attention — and then nothing bootstraps: the random-init
+    [2401,49] projection gives no gradient toward alignment when the
+    head is also at chance. Measured: all four configs stuck at
+    mAP ~ 0.32 = chance. The paper's claim is attention HELPS, not
+    attention-enables-from-zero.)"""
     rng = np.random.RandomState(seed)
     c3d = rng.randn(n, 1024, 49).astype(np.float32) * noise
     labels = (rng.rand(n, n_classes) < 0.3).astype(np.float32)
     cells = rng.randint(0, 49, n)
 
     # distractors: independent pseudo-labels in the SAME 13 channels at
-    # every non-signal cell, same amplitude as the signal
+    # every non-signal cell
     distract = (rng.rand(n, n_classes, 49) < 0.3).astype(np.float32)
-    c3d[:, :n_classes, :] += signal * (2.0 * distract - 1.0)
+    c3d[:, :n_classes, :] += distract_amp * (2.0 * distract - 1.0)
     # overwrite the signal cell with the true pattern
     c3d[np.arange(n), :n_classes, cells] = (
         signal * (2.0 * labels - 1.0)
@@ -104,7 +120,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n_train", type=int, default=600)
     p.add_argument("--n_test", type=int, default=200)
-    p.add_argument("--max_iter", type=int, default=400)
+    p.add_argument("--distract_amp", type=float, default=1.0)
+    p.add_argument("--max_iter", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()

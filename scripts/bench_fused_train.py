@@ -11,57 +11,60 @@ jitted program (`models/pipeline.make_fused_train_step`). Two variants:
   * `--finetune` joint fine-tuning (beyond reference): gradients flow
     through the rematerialized conv tower, per-tree optimizer.
 
+`--sweep B1,B2,...` runs the batch-scaling study (VERDICT r4 item 7):
+one JSON line per (B, variant) with step time, raw frames/s, and BOTH
+MFU flavors (XLA cost-model and the corrected optimized-HLO count that
+includes while-loop trip counts, `utils/mfu.compiled_flops_corrected`).
+
 Scalar-chained timing (each step consumes the previous state), same
 protocol as bench.py — see BENCHMARKS.md "relay wall-clock" note.
 
 Usage:  python scripts/bench_fused_train.py [--finetune] [--b B] [--f F]
+        python scripts/bench_fused_train.py --sweep 4,8,16,32 [--finetune]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+from recurrent_gaze_prediction_tpu.utils import (  # noqa: E402
+    enable_compile_cache,
+    honor_jax_platforms_env,
+)
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_rgp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+honor_jax_platforms_env()
+enable_compile_cache()
 
-import jax.numpy as jnp
-import numpy as np
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--b", type=int, default=8)
-    p.add_argument("--f", type=int, default=160)
-    p.add_argument("--finetune", action="store_true")
-    p.add_argument("--iters", type=int, default=10)
-    args = p.parse_args()
-
+def run_config(b: int, f: int, finetune: bool, iters: int) -> dict:
     import optax
 
     from recurrent_gaze_prediction_tpu import registry
     from recurrent_gaze_prediction_tpu.models import c3d, pipeline
     from recurrent_gaze_prediction_tpu.utils import mfu as mfu_lib
 
-    b, f = args.b, args.f
     t = pipeline.pipeline_timesteps(f)
     model = registry.create_model("gaze_grcn", n_lstm_steps=t, batch_size=b,
                                   compute_dtype="bfloat16")
     c3d_params = c3d.init_params(jax.random.PRNGKey(0))
     gaze_params = model.init(jax.random.PRNGKey(1))
     tx = optax.adam(1e-3)
-    c3d_tx = optax.sgd(1e-5) if args.finetune else None
+    c3d_tx = optax.sgd(1e-5) if finetune else None
     opt_state = pipeline.init_fused_opt_state(
         tx, gaze_params, c3d_params, c3d_tx=c3d_tx,
-        finetune_c3d=args.finetune)
+        finetune_c3d=finetune)
     step = pipeline.make_fused_train_step(
-        model, tx, finetune_c3d=args.finetune, c3d_tx=c3d_tx)
+        model, tx, finetune_c3d=finetune, c3d_tx=c3d_tx)
 
     rng0 = np.random.RandomState(0)
     batch = {
@@ -71,36 +74,67 @@ def main() -> None:
                                 .astype(np.float32) + 0.01),
     }
 
-    flops = None
+    flops = flops_corr = None
+    lowerable = getattr(step, "jitted", step)
     try:
-        lowerable = getattr(step, "jitted", step)
         flops = mfu_lib.compiled_flops(lowerable, gaze_params, opt_state,
                                        c3d_params, batch,
                                        jax.random.PRNGKey(2))
     except Exception as e:  # cost model unavailable on some backends
-        print(f"flops analysis unavailable: {e}")
+        print(f"# flops analysis unavailable: {e}", file=sys.stderr)
+    try:
+        flops_corr, _ = mfu_lib.compiled_flops_corrected(
+            lowerable, gaze_params, opt_state, c3d_params, batch,
+            jax.random.PRNGKey(2))
+    except Exception as e:
+        print(f"# corrected-flops analysis unavailable: {e}",
+              file=sys.stderr)
 
     rng = jax.random.PRNGKey(3)
     gp, op, cp = gaze_params, opt_state, c3d_params
     t0 = time.perf_counter()
     gp, op, cp, metrics = step(gp, op, cp, batch, rng)
     loss = float(metrics["loss"])
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={loss:.5f}")
+    compile_s = time.perf_counter() - t0
 
-    n = args.iters
     t0 = time.perf_counter()
-    for _ in range(n):
+    for _ in range(iters):
         gp, op, cp, metrics = step(gp, op, cp, batch, rng)
     assert float(metrics["loss"]) != 0.0  # sync
     dt = time.perf_counter() - t0
-    step_ms = dt / n * 1e3
-    frames_s = b * f / (dt / n)
-    util = mfu_lib.mfu(flops, n / dt) if flops else None
-    print(f"fused train ({'joint' if args.finetune else 'frozen tower'}) "
-          f"B={b} F={f} T={t}: {step_ms:.2f} ms/step, "
-          f"{frames_s:,.0f} raw frames/s"
-          + (f", MFU {util:.1%}" if util else ""))
+    step_ms = dt / iters * 1e3
+    frames_s = b * f / (dt / iters)
+    util = mfu_lib.mfu(flops, iters / dt) if flops else None
+    util_corr = mfu_lib.mfu(flops_corr, iters / dt) if flops_corr else None
+    return {
+        "variant": "finetune_c3d" if finetune else "frozen",
+        "b": b, "f": f, "t": t,
+        "compile_plus_first_step_s": round(compile_s, 1),
+        "first_loss": round(loss, 5),
+        "step_ms": round(step_ms, 2),
+        "raw_frames_per_sec": round(frames_s, 0),
+        "mfu_xla_costmodel": round(util, 4) if util else None,
+        "mfu_corrected": round(util_corr, 4) if util_corr else None,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--b", type=int, default=8)
+    p.add_argument("--f", type=int, default=160)
+    p.add_argument("--finetune", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--sweep", default=None,
+                   help="comma-separated batch sizes; one JSON line each")
+    args = p.parse_args()
+
+    if args.sweep:
+        for b in [int(x) for x in args.sweep.split(",")]:
+            row = run_config(b, args.f, args.finetune, args.iters)
+            print(json.dumps(row), flush=True)
+        return
+    row = run_config(args.b, args.f, args.finetune, args.iters)
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -11,13 +11,17 @@ script shows it LEARNS, through the real product surface
   --arm frozen    train gaze_grcn on the "bright" raw-video corpus with
                   the frozen random C3D tower; report the held-out
                   CC / SIM / AUC_Borji curve (target: CC >= 0.85).
-  --arm finetune  the A/B: on the "flicker" corpus (two equal-brightness
-                  blobs, only the TEMPORAL signature marks the gaze
-                  target — a frozen random tower encodes both blobs
-                  near-symmetrically), train frozen vs --finetune_c3d
-                  from the SAME init/seed and report both held-out
-                  curves. Joint fine-tuning shapes the 3-D conv temporal
-                  kernels into flicker detectors; frozen cannot.
+  --arm finetune  the A/B: on the "period" corpus (two equal-mean
+                  flickering blobs distinguished only by temporal
+                  FREQUENCY, with the distractor carrying MORE raw
+                  temporal energy — see `make_synthetic_fused_corpus`),
+                  train frozen vs --finetune_c3d from the SAME init/seed
+                  and report both held-out curves. Joint fine-tuning can
+                  shape the 3-D conv temporal kernels into frequency-
+                  selective filters; a frozen random tower cannot.
+                  (--corpus flicker keeps the round-5-measured plain-
+                  flicker variant: frozen 0.82 vs fine-tuned 0.86-best —
+                  a random tower transmits raw temporal contrast well.)
 
 Training runs through fit_fused in eval_every-step segments (each
 segment resumes the returned FusedTrainState — also exercising the
@@ -142,6 +146,10 @@ def run_arm(tag: str, corpus_mode: str, finetune: bool, args) -> dict:
     final = dict(curve[-1])
     final["wall_sec"] = round(time.time() - t0, 1)
     final["best_cc"] = max(p["cc"] for p in curve)
+    # eval-to-eval CC oscillates ~+-0.03 (measured r5); the mean of the
+    # last 3 points is the noise-robust convergence figure
+    final["cc_last3"] = round(
+        float(np.mean([p["cc"] for p in curve[-3:]])), 4)
     return final
 
 
@@ -149,6 +157,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--arm", choices=("frozen", "finetune"),
                    default="frozen")
+    p.add_argument("--corpus", default=None,
+                   help="corpus mode override (default: bright for the "
+                        "frozen arm, period for the finetune A/B)")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--eval_every", type=int, default=50)
     p.add_argument("--batch", type=int, default=8)
@@ -161,18 +172,21 @@ def main():
     args = p.parse_args()
 
     if args.arm == "frozen":
-        final = run_arm("frozen", "bright", False, args)
-        print(json.dumps({"summary": {"frozen_bright": final}}), flush=True)
+        mode = args.corpus or "bright"
+        final = run_arm("frozen", mode, False, args)
+        print(json.dumps({"summary": {f"frozen_{mode}": final}}),
+              flush=True)
         return
 
     # the A/B: same corpus, same init, frozen vs joint fine-tune
-    frozen = run_arm("frozen", "flicker", False, args)
-    finetuned = run_arm("finetune_c3d", "flicker", True, args)
+    mode = args.corpus or "period"
+    frozen = run_arm("frozen", mode, False, args)
+    finetuned = run_arm("finetune_c3d", mode, True, args)
     print(json.dumps({"summary": {
-        "flicker_frozen": frozen,
-        "flicker_finetune_c3d": finetuned,
-        "finetune_cc_gain": round(finetuned["best_cc"] - frozen["best_cc"],
-                                  4),
+        f"{mode}_frozen": frozen,
+        f"{mode}_finetune_c3d": finetuned,
+        "finetune_cc_gain": round(
+            finetuned["cc_last3"] - frozen["cc_last3"], 4),
     }}), flush=True)
 
 

