@@ -67,12 +67,14 @@ def convgru_parity(t: int = 42, b: int = 8, hw: tuple[int, int] = (7, 7),
     }
 
 
-# bf16 has an 8-bit mantissa: per-step rounding differs between the
-# f32-accumulating kernel and the compute-dtype scan, and T=42 recurrent
-# steps compound it. Measured on TPU v5e: max_rel_delta ~1e-2, corr
-# >0.9999. The gate is set at 4x the measured delta — loose enough for
-# run-to-run noise, tight enough that a wrong-gate/wrong-shift Mosaic
-# lowering (which produces corr << 0.99) cannot pass.
+# Measured on TPU v5e (r5): bf16 (production) is BIT-EXACT — corr 1.0,
+# max_delta 0.0 — because both paths share the hoisted input conv, do
+# bf16 MXU matmuls with f32 accumulation, and keep f32 state; f32 mode
+# shows max_rel_delta 1.45e-2 / corr 0.9999993 (precision-mode
+# differences between XLA conv and the kernel's dot lowering). The gate
+# covers both modes with margin — loose enough for run-to-run noise,
+# tight enough that a wrong-gate/wrong-shift Mosaic lowering (corr <<
+# 0.99) cannot pass.
 BF16_MAX_REL_DELTA = 0.05
 MIN_CORR = 0.999
 

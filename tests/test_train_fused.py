@@ -414,7 +414,8 @@ def test_fit_fused_learns_gaze_from_raw_video():
     #1): train gaze_grcn from PIXELS through fit_fused (frozen random
     tower) on the bright-blob corpus and assert real held-out quality —
     the random C3D tower transmits the blob's position, the gaze model
-    learns to decode it. Scaled for the CPU harness (30 steps: CC >= 0.3,
+    learns to decode it. Scaled for the CPU harness (12 steps at B=2 —
+    measured CC 0.37/AUC 0.99 after just 4; asserted CC >= 0.3,
     AUC_Borji >= 0.9 vs chance 0.0/0.5); the full on-chip run (B=8,
     F=80, 400 steps) reaches held-out CC 0.86 / AUC_Borji 0.997 in 443 s
     (BENCHMARKS.md "Fused raw-video training rehearsal"). The reference
@@ -428,19 +429,18 @@ def test_fit_fused_learns_gaze_from_raw_video():
     from recurrent_gaze_prediction_tpu.eval import evaluator
     from recurrent_gaze_prediction_tpu.models import c3d
 
-    F_local, b = 32, 4
+    F_local, b = 32, 2
     t = pipeline.pipeline_timesteps(F_local)
     corpus = fused.make_synthetic_fused_corpus(
-        12, num_frames=F_local, frame_hw=(48, 64), seed=0,
+        10, num_frames=F_local, frame_hw=(48, 64), seed=0,
         walk_bounds=(0.25, 0.75))
-    train_data, valid_data = corpus.split(4)
+    train_data, valid_data = corpus.split(2)
 
     model = registry.create_model("gaze_grcn", n_lstm_steps=t,
-                                  batch_size=b, compute_dtype="float32",
-                                  rnn_state_size=32, dim_cnn_proj=64)
+                                  batch_size=b, compute_dtype="float32")
     exp = ExperimentConfig()
     exp.model = model.cfg
-    exp.schedule.max_steps = 30
+    exp.schedule.max_steps = 12
     exp.schedule.steps_per_checkpoint = 10 ** 9
     exp.schedule.steps_per_validation = 10 ** 9
     exp.schedule.steps_per_logprint = 10
@@ -454,7 +454,7 @@ def test_fit_fused_learns_gaze_from_raw_video():
         c3d_params, jnp.zeros((), jnp.int32))
     state = fused.fit_fused(model, state, tx, train_data, exp,
                             compute_dtype=jnp.float32)
-    assert int(state.step) == 30
+    assert int(state.step) == 12
 
     predict = pipeline.make_fused_predict(model, num_frames=F_local,
                                           compute_dtype=jnp.float32)
