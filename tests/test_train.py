@@ -407,3 +407,55 @@ def test_pupil_head_learns_pupil_signal(name):
     corr = float(np.corrcoef(pred, gt)[0, 1])
     # measured on this harness: 0.80 (grcn) / 0.85 (gru2) at these scales
     assert corr >= 0.5, (name, corr)
+
+
+def test_frozen_shallownet_stays_fixed_during_training():
+    """The reference grafts ShallowNet into gaze_rnn and trains it with
+    LR 0 (`gaze_rnn.py:459` "DO NOT LEARN"; its concat into the RNN input
+    is commented out at :330-336, so the branch is inert by design).
+    Assert our `build_optimizer` freeze group keeps the subtree
+    bit-identical through real train steps while the rest moves — and
+    that gaze_framewise_shallownet (where ShallowNet IS the predictor,
+    has_shallownet=False so the freeze convention does not apply) trains
+    its subtree normally."""
+    # frozen branch: gaze_rnn under the default freeze_shallownet=True
+    exp = _exp("gaze_rnn", n_lstm_steps=4, batch_size=2,
+               rnn_state_size=16)
+    model = registry.create_model(exp.model.name, exp.model)
+    data = synthetic.make_splits(n_train=4, n_valid=2, n_test=2, t=4)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_map(np.asarray,
+                                    state.params["shallownet"])
+    out_before = np.asarray(state.params["proj_out_W"]).copy()
+    step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(2).items() if k != "clipnames"}
+        state, _ = step(state, batch, rng)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params["shallownet"], before)
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0, deltas
+    out_delta = float(np.abs(
+        np.asarray(state.params["proj_out_W"]) - out_before).max())
+    assert out_delta > 0.0
+
+    # trainable branch: framewise, where the subtree carries the loss
+    exp = _exp("gaze_framewise_shallownet", n_lstm_steps=4, batch_size=2,
+               gazemap_height=49, gazemap_width=49)
+    model = registry.create_model(exp.model.name, exp.model)
+    state, tx = create_train_state(model, exp.optimizer,
+                                   jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_map(np.asarray,
+                                    state.params["shallownet"])
+    step = make_train_step(model, tx)
+    for _ in range(3):
+        batch = {k: jnp.asarray(v) for k, v in
+                 data.train.next_batch(2).items() if k != "clipnames"}
+        state, _ = step(state, batch, rng)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params["shallownet"], before)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0.0, deltas
