@@ -185,3 +185,32 @@ def test_svm_suppresses_negative_classes():
     assert margins[labels == 0].mean() < 0.0 < margins[labels == 1].mean()
     result = evaluate(labels, margins, threshold=0.0)
     assert result["hamming_loss"] < 0.5
+
+
+def test_gaze_attention_improves_action_map():
+    """The reason the reference's action stack exists: gaze attention
+    HELPS classification (`action_classification.py:210-240`). On the
+    attention corpus (label pattern hidden at the gazed cell, 48
+    distractor cells polluting an attention-less pool —
+    `scripts/action_attention_study.make_attention_corpus`), the NN head
+    with use_gazemap=True must beat the same head without it by a wide
+    margin. Full-scale study (1500 train / 1500 iters, CPU ~6 min):
+    attn mAP 0.603 vs no-attn 0.367 (BENCHMARKS.md "Gaze attention");
+    scaled thresholds here leave room for run noise."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.action_attention_study import (
+        make_attention_corpus,
+        run_head,
+    )
+
+    train = make_attention_corpus(800, seed=0)
+    test = make_attention_corpus(300, seed=100)
+    with_attn = run_head("NN", True, train, test, max_iter=800,
+                         batch_size=64, seed=0, learning_rate=0.01)
+    without = run_head("NN", False, train, test, max_iter=800,
+                       batch_size=64, seed=0, learning_rate=0.01)
+    assert with_attn["mAP"] >= 0.45, (with_attn, without)
+    assert with_attn["mAP"] >= without["mAP"] + 0.08, (with_attn, without)
