@@ -46,7 +46,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def run_config(b: int, f: int, finetune: bool, iters: int) -> dict:
+def run_config(b: int, f: int, finetune: bool, iters: int,
+               accum_steps: int = 1) -> dict:
     import optax
 
     from recurrent_gaze_prediction_tpu import registry
@@ -64,7 +65,8 @@ def run_config(b: int, f: int, finetune: bool, iters: int) -> dict:
         tx, gaze_params, c3d_params, c3d_tx=c3d_tx,
         finetune_c3d=finetune)
     step = pipeline.make_fused_train_step(
-        model, tx, finetune_c3d=finetune, c3d_tx=c3d_tx)
+        model, tx, finetune_c3d=finetune, c3d_tx=c3d_tx,
+        accum_steps=accum_steps)
 
     rng0 = np.random.RandomState(0)
     batch = {
@@ -108,7 +110,7 @@ def run_config(b: int, f: int, finetune: bool, iters: int) -> dict:
     util_corr = mfu_lib.mfu(flops_corr, iters / dt) if flops_corr else None
     return {
         "variant": "finetune_c3d" if finetune else "frozen",
-        "b": b, "f": f, "t": t,
+        "b": b, "f": f, "t": t, "accum_steps": accum_steps,
         "compile_plus_first_step_s": round(compile_s, 1),
         "first_loss": round(loss, 5),
         "step_ms": round(step_ms, 2),
@@ -124,16 +126,36 @@ def main() -> None:
     p.add_argument("--f", type=int, default=160)
     p.add_argument("--finetune", action="store_true")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatching (the memory "
+                        "lever past the HBM ceiling: frozen B=32/F=160 "
+                        "OOMs at 19.2G vs 15.75G without it)")
     p.add_argument("--sweep", default=None,
-                   help="comma-separated batch sizes; one JSON line each")
+                   help="comma-separated batch sizes; one JSON line each. "
+                        "A size may carry xN for accumulation (e.g. "
+                        "'8,16,32x2': B=32 with accum_steps=2). A config "
+                        "that fails (e.g. HBM OOM) prints an error row "
+                        "and the sweep continues.")
     args = p.parse_args()
 
     if args.sweep:
-        for b in [int(x) for x in args.sweep.split(",")]:
-            row = run_config(b, args.f, args.finetune, args.iters)
+        for spec in args.sweep.split(","):
+            b, _, acc = spec.partition("x")
+            b, acc = int(b), int(acc) if acc else args.accum_steps
+            try:
+                row = run_config(b, args.f, args.finetune, args.iters,
+                                 accum_steps=acc)
+            except Exception as e:
+                msg = str(e)
+                row = {"variant": ("finetune_c3d" if args.finetune
+                                   else "frozen"),
+                       "b": b, "f": args.f, "accum_steps": acc,
+                       "error": (msg[:200] + "...") if len(msg) > 200
+                       else msg}
             print(json.dumps(row), flush=True)
         return
-    row = run_config(args.b, args.f, args.finetune, args.iters)
+    row = run_config(args.b, args.f, args.finetune, args.iters,
+                     accum_steps=args.accum_steps)
     print(json.dumps(row), flush=True)
 
 
