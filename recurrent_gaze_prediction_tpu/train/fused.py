@@ -255,9 +255,6 @@ def make_synthetic_fused_corpus(n_clips: int = 8, *, num_frames: int = 80,
     the gaze target flickers frame-to-frame (amplitude +-60 around 120)
     while the distractor holds steady at 120. Per-frame appearance is
     identical; only the TEMPORAL signature distinguishes them.
-    (Measured on-chip: a frozen RANDOM tower still transmits plain
-    temporal contrast well — frozen CC 0.82 vs fine-tuned 0.86-best, a
-    noisy gap. Use mode="period" for the decisive A/B.)
 
     mode="period": both blobs FLICKER, distinguished only by temporal
     FREQUENCY — the gaze target alternates every frame (+-35, period 2),
@@ -265,10 +262,18 @@ def make_synthetic_fused_corpus(n_clips: int = 8, *, num_frames: int = 80,
     brightness jitter (+-15) on every frame. Amplitudes are chosen so
     the mean per-frame |delta| is EQUAL (70) and the distractor carries
     MORE temporal variance (4900 vs 1225), so a naive temporal-contrast
-    energy detector prefers the WRONG blob; separating them needs a
-    temporal-frequency-selective filter, which a random 3-D conv stack
-    is poor at but joint `--finetune_c3d` training can learn. This is
-    the corpus for the frozen-vs-finetuned A/B (VERDICT r4 weak #1).
+    energy detector prefers the WRONG blob.
+
+    Measured A/B results (BENCHMARKS.md "frozen vs --finetune_c3d"):
+    fine-tuning beats frozen on BOTH temporal corpora but by small
+    margins at full readout width (flicker +0.027 best-CC, period
+    +0.016 best / +0.009 last-3) — a frozen RANDOM tower's nonlinearity
+    converts either temporal signature into channel-energy differences
+    a 1024-channel readout can decode, echoing the classic
+    random-features result. At a CONSTRAINED readout (--dim_cnn_proj
+    48) joint training at the default c3d_lr is unstable and LOSES to
+    frozen (measured; see BENCHMARKS) — fine-tune LR needs care when
+    the readout is narrow.
 
     `walk_bounds` clamps the normalized random walk; note
     `c3d.preprocess_frames` center-crops 112/171 of the width, so

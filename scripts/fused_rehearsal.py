@@ -110,9 +110,13 @@ def run_arm(tag: str, corpus_mode: str, finetune: bool, args) -> dict:
     exp.schedule.steps_per_checkpoint = 10 ** 9  # no disk churn here
 
     t = pipeline.pipeline_timesteps(args.frames)
-    model = registry.create_model("gaze_grcn", exp.model,
-                                  n_lstm_steps=t, batch_size=args.batch,
-                                  compute_dtype="bfloat16")
+    overrides = dict(n_lstm_steps=t, batch_size=args.batch,
+                     compute_dtype="bfloat16")
+    if args.dim_cnn_proj is not None:
+        overrides["dim_cnn_proj"] = args.dim_cnn_proj
+    if args.rnn_state_size is not None:
+        overrides["rnn_state_size"] = args.rnn_state_size
+    model = registry.create_model("gaze_grcn", exp.model, **overrides)
 
     corpus = fused.make_synthetic_fused_corpus(
         args.train_clips + args.valid_clips, num_frames=args.frames,
@@ -168,6 +172,12 @@ def main():
     p.add_argument("--valid_clips", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--c3d_lr", type=float, default=3e-4)
+    p.add_argument("--dim_cnn_proj", type=int, default=None,
+                   help="shrink the readout (e.g. 64) to probe the "
+                        "constrained-capacity regime where fine-tuning "
+                        "the tower concentrates signal the frozen "
+                        "random encoding spreads across channels")
+    p.add_argument("--rnn_state_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
