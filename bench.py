@@ -541,10 +541,17 @@ def bench_serving_uint8_http(n_clients: int = 4,
     device_put transfer only). N client threads POST npz uint8 clips to
     a live `serving.GazeServer` wrapping `pipeline.make_fused_predict`;
     the batcher coalesces them into single fused device calls. Reports
-    (http requests/s, p50 ms, device-side B=1->B=max amortization on the
-    fused program, response==local bitwise). Absolute rps/p50 include
-    npz decode + relay transfer (environment-bound); the amortization
-    ratio is the stable signal. Reference anchor: the one-clip-at-a-time
+    (http requests/s, p50 ms, device-side B=1->B=max amortization on
+    the fused program, min corr of served maps vs a local B=1
+    reference). Served maps are NOT expected bitwise-equal to the
+    reference: the batcher dispatches at whatever bucket filled
+    (B=2/4), and XLA's conv reductions reassociate differently per
+    batch shape — corr pins semantic equality instead. Absolute
+    rps/p50 include npz decode + relay transfer (environment-bound);
+    the amortization ratio is the stable signal (measured 1.4x —
+    modest BY DESIGN: even B=1 feeds the C3D tower 10 windows, so the
+    MXU is never starved the way the feature-fed B=1 program is, where
+    the batcher buys 5x+). Reference anchor: the one-clip-at-a-time
     loop this productionizes, `/root/reference/models/extract_map.py:
     221-238`."""
     import io
@@ -652,9 +659,11 @@ def bench_serving_uint8_http(n_clients: int = 4,
     rps = n_requests / elapsed
     lat = np.sort(np.asarray(latencies)) * 1e3
     p50 = float(lat[len(lat) // 2])
-    bitwise = all(np.array_equal(np.asarray(m, np.float32), local)
-                  for m in responses)
-    return rps, p50, amort, bitwise
+    ref = np.asarray(local, np.float64).ravel()
+    corr = min(
+        float(np.corrcoef(np.asarray(m, np.float64).ravel(), ref)[0, 1])
+        for m in responses)
+    return rps, p50, amort, corr
 
 
 def bench_pallas_parity():
@@ -816,11 +825,11 @@ def main() -> None:
         serve_rps = serve_p50 = serve_p99 = serve_direct_rps = None
         serve_amort = serve_wire_corr = serve_wire_lossless = None
     try:
-        (u8_rps, u8_p50, u8_amort, u8_bitwise) = bench_serving_uint8_http()
+        (u8_rps, u8_p50, u8_amort, u8_corr) = bench_serving_uint8_http()
     except Exception as e:
         print(f"# uint8-http serving bench skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
-        u8_rps = u8_p50 = u8_amort = u8_bitwise = None
+        u8_rps = u8_p50 = u8_amort = u8_corr = None
     print(json.dumps({
         "metric": "c3d_grcn_e2e_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -853,7 +862,7 @@ def main() -> None:
         "serving_uint8_http_requests_per_sec": _num(u8_rps, 2),
         "serving_uint8_http_p50_ms": _num(u8_p50, 1),
         "serving_uint8_fused_device_amortization": _num(u8_amort, 2),
-        "serving_uint8_http_bitwise_vs_local": u8_bitwise,
+        "serving_uint8_http_map_corr": _num(u8_corr, 6),
         "device": jax.devices()[0].device_kind,
     }))
 
