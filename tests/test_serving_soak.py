@@ -73,11 +73,11 @@ def _npz(**arrays) -> bytes:
 def test_serving_soak_sustained_load_with_malformed_requests():
     @jax.jit
     def predict(video):
-        # tiny but real device round-trip per dispatch
+        # tiny but real device round-trip per dispatch: per-frame mean
+        # brightness smeared over a GH x GW map
         x = video.astype(jnp.float32) / 255.0
-        maps = jnp.einsum("bthwc->bthw", x)[..., None] * \
-            jnp.ones((GH, GW)) / (GH * GW)
-        return maps.reshape(video.shape[0], T, GH, GW)
+        level = jnp.einsum("bthwc->bt", x) / (x.shape[2] * x.shape[3] * 3)
+        return level[..., None, None] * jnp.ones((GH, GW)) / (GH * GW)
 
     good_body = _npz(video=np.random.RandomState(0).randint(
         0, 255, (T, 8, 8, 3), dtype=np.uint8).astype(np.uint8))
