@@ -82,3 +82,47 @@ MIN_CORR = 0.999
 def parity_ok(stats: dict) -> bool:
     return (np.isfinite(stats["corr"]) and stats["corr"] >= MIN_CORR
             and stats["max_rel_delta"] <= BF16_MAX_REL_DELTA)
+
+
+def convlstm_parity(t: int = 42, b: int = 8, hw: tuple[int, int] = (7, 7),
+                    c: int = 512, units: int = 128,
+                    compute_dtype=jnp.bfloat16, seed: int = 0,
+                    interpret: bool = False) -> dict:
+    """Same on-hardware gate for the peephole ConvLSTM kernel
+    (`convlstm.convlstm_scan`), which is default-on for gaze_lstm TPU
+    inference (`models/gaze_lstm.py:54-58`). Reference anchor:
+    `/root/reference/models/gaze_lstm.py:103-133`."""
+    from ..cells import ConvLSTM
+    from .convlstm import convlstm_scan
+
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    params = ConvLSTM.init(jax.random.PRNGKey(seed), c, units, (h, w))
+    params = {k: jnp.asarray(rng.randn(*v.shape).astype(np.float32)) * 0.1
+              for k, v in params.items()}
+    xs = jnp.asarray(rng.randn(t, b, h, w, c).astype(np.float32))
+    carry0 = ConvLSTM.zero_state(b, (h, w), units)
+
+    (_, hs), ys_scan = jax.jit(
+        lambda p, x, c0: ConvLSTM.scan(p, x, c0,
+                                       compute_dtype=compute_dtype)
+    )(params, xs, carry0)
+    del hs
+    (_, _), ys_pl = convlstm_scan(params, xs, carry0,
+                                  compute_dtype=compute_dtype,
+                                  interpret=interpret)
+
+    a = np.asarray(ys_scan, np.float32).ravel()
+    p = np.asarray(ys_pl, np.float32).ravel()
+    scale = float(np.abs(a).max()) or 1.0
+    max_delta = float(np.abs(a - p).max())
+    corr = float(np.corrcoef(a, p)[0, 1]) if a.std() > 0 else float("nan")
+    return {
+        "backend": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "compute_dtype": jnp.dtype(compute_dtype).name,
+        "shape": {"t": t, "b": b, "h": h, "w": w, "c": c, "units": units},
+        "max_delta": max_delta,
+        "max_rel_delta": max_delta / scale,
+        "corr": corr,
+    }

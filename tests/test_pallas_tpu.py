@@ -71,3 +71,41 @@ def test_pallas_convgru_parity_on_tpu():
     assert stats["ok"], (
         f"Mosaic-compiled ConvGRU diverged from the scan on "
         f"{stats['device']}: {stats}")
+
+
+_LSTM_PARITY = """
+import json
+from recurrent_gaze_prediction_tpu.utils import enable_compile_cache
+enable_compile_cache()
+from recurrent_gaze_prediction_tpu.ops.pallas.parity import (
+    convlstm_parity, parity_ok)
+stats = convlstm_parity()
+stats["ok"] = parity_ok(stats)
+print("PARITY=" + json.dumps(stats))
+"""
+
+
+def test_pallas_convlstm_parity_on_tpu():
+    """Same on-hardware gate for the peephole ConvLSTM kernel, default-on
+    for gaze_lstm TPU inference (`models/gaze_lstm.py:54-58`)."""
+    env = _device_env()
+    try:
+        probe = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, text=True, timeout=120,
+                               env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("device backend did not answer in 120s")
+    if probe.returncode != 0 or "16.0" not in probe.stdout:
+        pytest.skip(f"no usable device backend: "
+                    f"{(probe.stderr or probe.stdout).strip()[-200:]}")
+
+    r = subprocess.run([sys.executable, "-c", _LSTM_PARITY],
+                       capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, f"parity subprocess failed:\n{r.stderr[-2000:]}"
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("PARITY=")]
+    assert line, f"no parity line in output:\n{r.stdout[-2000:]}"
+    stats = json.loads(line[0][len("PARITY="):])
+    assert stats["backend"] != "cpu", stats
+    assert stats["ok"], (
+        f"Mosaic-compiled ConvLSTM diverged from the scan on "
+        f"{stats['device']}: {stats}")
