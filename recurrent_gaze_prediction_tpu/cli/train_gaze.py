@@ -78,9 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--shallownet_pretrain", default=None,
                         help="params checkpoint to graft into ShallowNet")
     parser.add_argument("--compute_dtype", default=None)
+    parser.add_argument("--pallas", dest="use_pallas",
+                        action="store_true", default=False,
+                        help="opt into the fused Pallas recurrence "
+                             "kernels (bit-exact on TPU; the XLA scan "
+                             "measured faster at flagship shapes since "
+                             "round 5, so the default is the scan)")
     parser.add_argument("--no_pallas", dest="use_pallas",
-                        action="store_false", default=True,
-                        help="disable the fused Pallas recurrence kernels")
+                        action="store_false",
+                        help="explicitly disable the Pallas kernels "
+                             "(the default; kept for compatibility)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--no_prefetch", dest="prefetch",
                         action="store_false", default=True,

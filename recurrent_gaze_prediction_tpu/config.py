@@ -84,8 +84,17 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"   # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
     # fused Pallas recurrence kernel (TPU only; auto-falls back to lax.scan
-    # on other backends)
-    use_pallas: bool = True
+    # on other backends). Default OFF since round 5: re-measured on the
+    # v5e, XLA's while-loop lowering now beats the kernel at flagship
+    # shapes (feature-fed predict B=16/T=42: 2.81 ms scan vs 4.66 ms
+    # kernel; isolated recurrence 2.24 vs 4.07 ms; fused raw-video
+    # pipeline neutral within 0.5% — the tower dominates there). The
+    # round-1 measurement the old default rested on (scan 53 ms) predates
+    # an XLA upgrade in this image. The kernel stays available (opt in
+    # here or `train_gaze --pallas`) and is parity-gated bit-exact on
+    # hardware every bench run (BENCHMARKS.md "On-hardware Pallas kernel
+    # parity" + "round-5 re-measure").
+    use_pallas: bool = False
     # rematerialize each recurrence step in the backward pass
     # (jax.checkpoint on the scan body): recompute gate activations instead
     # of storing them per step. Measured STRICTLY better on v5e — temp

@@ -50,16 +50,21 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
 
 def _run_convgru(cell_params: dict, xs: jax.Array, h0: jax.Array,
                  cfg: ModelConfig, cdt, train: bool) -> jax.Array:
-    """ConvGRU over time: fused Pallas kernel on TPU inference (10x the
-    lax.scan recurrence at T=42); differentiable lax.scan for training and
-    non-TPU backends.
+    """ConvGRU over time: `lax.scan` by default; the fused Pallas kernel
+    on TPU inference when cfg.use_pallas opts in.
 
-    Training deliberately keeps the scan: the custom-VJP kernels
-    (ops/pallas/convgru_vjp2.py) beat the scan 4x when the recurrence grad
-    is measured in isolation (10.7 vs 43 ms at T=42, B=16), but inside the
-    full train step XLA fuses the scan's backward with the surrounding
-    projection/decoder gradients and wins overall (19.7 vs 23.7 ms/step) —
-    the custom call is a fusion barrier. Revisit if the recurrence grows.
+    The default flipped round 5 on a re-measure: the round-1 numbers
+    (kernel 5.2 ms vs scan 53 ms at T=42/B=16) predate an XLA upgrade in
+    this image — today the scan runs the same recurrence in 2.24 ms vs
+    the kernel's 4.07 (feature-fed predict 2.81 vs 4.66 ms/call; the
+    fused raw-video pipeline is tower-dominated and neutral within
+    0.5%). The kernel remains parity-gated bit-exact on hardware
+    (ops/pallas/parity.py, bench `pallas_scan_corr`). Training always
+    keeps the differentiable scan: the custom-VJP kernels
+    (ops/pallas/convgru_vjp2.py) beat the scan 4x in isolation but lose
+    inside the full train step, where XLA fuses the scan's backward with
+    the surrounding gradients (19.7 vs 23.7 ms/step) — the custom call
+    is a fusion barrier.
     """
     from ..ops import pallas as pallas_ops
 
