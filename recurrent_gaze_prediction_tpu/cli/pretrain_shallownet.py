@@ -60,6 +60,15 @@ def main(argv: Optional[list[str]] = None) -> int:
     honor_jax_platforms_env()
     enable_compile_cache()
     args = build_parser().parse_args(argv)
+    import os
+
+    if os.path.exists(args.out):
+        # fail BEFORE the training run, with the remedy: orbax refuses to
+        # overwrite, and discovering that after minutes of pretraining
+        # (then re-running from scratch) is the expensive way to learn it
+        log.warn("--out %s already exists; orbax will not overwrite. "
+                 "Remove it or pick a fresh path.", args.out)
+        return 1
     if args.dataset == "salicon":
         data = salicon_data.SaliconData(root=args.salicon_root,
                                         use_val_split=True).build()
